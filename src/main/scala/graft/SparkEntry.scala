@@ -1,13 +1,371 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.functions.{GraftFunctions, TextOps}
+import graft.operators.{Dedup, Similarity}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * `queries` is the operator inventory surface (SURVEY.md §2 analogues over
+  * the TPC-H-ish testdata plus the training-data pipeline operators over
+  * `documents`/`embeddings`). Every SQL-expressible query has a DuckDB
+  * oracle in `oracleSql` with IDENTICAL column names and types; value
+  * determinism rules: integer/decimal aggregation only (no raw double
+  * sums), ranking on rounded similarities with id tie-breaks, epoch-second
+  * integers instead of timestamp columns.
+  */
 object SparkEntry {
+
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** 2-dp doubles (prices/quantities/discounts) → exact decimal before
+    * aggregation: decimal arithmetic is exact and engine-independent,
+    * unlike order-dependent double summation.
+    */
+  private def dec2(c: Column): Column = c.cast("decimal(12,2)")
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    queries("q01_pricing_summary")(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // A1 — grouped aggregation (reference corpus counts, script2.py:23-45)
+    "q01_pricing_summary" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .filter($"l_shipdate" <= lit("1998-09-01").cast("timestamp"))
+        .groupBy($"l_returnflag", $"l_linestatus")
+        .agg(
+          // exact decimal accumulation, double only at the very end (the
+          // final rounding is engine-independent; double SUM order is not)
+          sum(dec2($"l_quantity")).cast("double").as("sum_qty"),
+          sum(dec2($"l_extendedprice")).cast("double").as("sum_price"),
+          count(lit(1)).as("n_rows"),
+          countDistinct($"l_orderkey").as("n_orders"))
+    }),
+
+    // A2/J7 — near-dup corpus filter (script2.py:8-21 semantics)
+    "q02_near_dup_filter" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val keep = d.groupBy($"text").agg(count(lit(1)).as("c"))
+        .filter($"c" < 4).select($"text")
+      d.join(keep, Seq("text"), "left_semi")
+        .filter(length($"text") > 200)
+        .groupBy($"source").agg(count(lit(1)).as("kept"))
+    }),
+
+    // A4/W3 — per-key priority top-k (frontier candidate selection)
+    "q03_topk_per_key" -> ((s, dir) => {
+      val w = Window.partitionBy($"user_id").orderBy($"value".desc, $"event_id".asc)
+      t(s, dir, "events")
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .filter($"rn" <= 3)
+        .select($"user_id", $"event_id", $"rn")
+    }),
+
+    // J1 — URL-seen-set membership analogue (left-anti join)
+    "q04_anti_join" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders").filter($"o_totalprice" > 400000)
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .select($"c_custkey", $"c_mktsegment")
+    }),
+
+    // J5 + A1 — broadcast dim join + exact decimal revenue
+    "q05_join_agg" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val p = t(s, dir, "part")
+      li.join(broadcast(p), li("l_partkey") === p("p_partkey"))
+        .groupBy($"p_brand")
+        .agg(
+          sum(dec2($"l_extendedprice") * (lit(1).cast("decimal(12,2)") - dec2($"l_discount")))
+            .cast("double").as("revenue"),
+          count(lit(1)).as("n_items"))
+    }),
+
+    // SO1/S3 — union + dedup
+    "q06_union_dedup" -> ((s, dir) => {
+      t(s, dir, "orders").select($"o_custkey".as("key"))
+        .unionByName(t(s, dir, "customer").select($"c_custkey".as("key")))
+        .distinct()
+    }),
+
+    // P11/ST2 — frontier refill: two-tier priority + deterministic limit
+    "q07_frontier_refill" -> ((s, dir) => {
+      t(s, dir, "events")
+        .withColumn("prio", when($"event_type" === "error", 1).otherwise(0))
+        .orderBy($"prio".desc, $"event_id".asc)
+        .limit(200)
+        .select($"event_id", $"event_type")
+    }),
+
+    // Training-data: exact dedup (hash-groupBy, keep lowest id)
+    "q08_exact_dedup" -> ((s, dir) =>
+      Dedup.exact(t(s, dir, "documents"), "doc_id", "text")),
+
+    // Training-data: token counting
+    "q09_token_stats" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      d.select($"doc_id",
+        TextOps.tokenCount($"text").cast("long").as("n_tokens"),
+        length($"text").cast("long").as("n_chars_m"))
+    }),
+
+    // Training-data: quality scoring (ratio features)
+    "q10_quality_score" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val toks = TextOps.tokens($"text")
+      d.select($"doc_id",
+        TextOps.alphaRatio($"text").as("alpha_ratio"),
+        TextOps.stopwordRatio(toks, Seq("the", "a")).as("stop_ratio"))
+    }),
+
+    // Training-data: rolling-hash document fingerprint (UDF; rows-only)
+    "q11_fingerprint" -> ((s, dir) => {
+      val rh = udf((x: String) => TextOps.rollingHash(x))
+      t(s, dir, "documents").select($"doc_id", rh($"text").as("rh"),
+        TextOps.fingerprint($"text").as("text_md5"))
+    }),
+
+    // W1/ST analogues — sessionization via window functions
+    "q12_sessionize" -> ((s, dir) => {
+      val w = Window.partitionBy($"user_id").orderBy($"es".asc, $"event_id".asc)
+      val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, dir, "events")
+        .withColumn("es", unix_timestamp($"ts"))
+        .withColumn("brk",
+          when(lag($"es", 1).over(w).isNull || $"es" - lag($"es", 1).over(w) > 1800, 1)
+            .otherwise(0))
+        .withColumn("session_id", sum($"brk").over(run).cast("long"))
+        .groupBy($"user_id", $"session_id")
+        .agg(count(lit(1)).as("n_events"),
+          min($"es").as("start_s"), max($"es").as("end_s"))
+    }),
+
+    // Training-data: n-gram Jaccard near-dup pairs (blocked by source)
+    "q13_ngram_jaccard" -> ((s, dir) =>
+      Dedup.ngramJaccardPairs(t(s, dir, "documents"), "doc_id", "text",
+        "source", shingleSize = 3, threshold = 0.2)),
+
+    // Training-data: exact cosine top-k (brute-force ANN baseline)
+    "q14_cosine_topk" -> ((s, dir) =>
+      Similarity.bruteForceTopK(t(s, dir, "embeddings"), "vec_id", "embedding",
+        $"vec_id" < 10, k = 5)),
+
+    // Training-data: SimHash near-dup pairs (rows-only; custom hash)
+    "q15_simhash_pairs" -> ((s, dir) =>
+      Dedup.simHashPairs(t(s, dir, "documents"), "doc_id", "text",
+        maxHamming = 16, blockBits = 4)),
+
+    // Training-data: MinHash+LSH near-dup candidates (rows-only)
+    "q16_minhash_lsh" -> ((s, dir) =>
+      Dedup.minHashLsh(t(s, dir, "documents"), "doc_id", "text",
+        numHashes = 16, bands = 8, shingleSize = 2, threshold = 0.2)),
+
+    // Training-data: language-ID heuristic (rows-only; UDF)
+    "q17_langid" -> ((s, dir) =>
+      t(s, dir, "documents").select($"doc_id",
+        GraftFunctions.langId($"text").as("lang_pred"), $"lang")),
+
+    // Multimodal plumbing baseline: byte-level stats over binary payloads
+    "q18_binary_stats" -> ((s, dir) =>
+      t(s, dir, "documents").select($"doc_id",
+        octet_length($"text").cast("long").as("n_bytes"),
+        ascii($"text").cast("long").as("first_byte"))),
+
+    // P1-P9 URL algebra over synthesized URL families (truth via CASE oracle)
+    "q19_url_algebra" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val base = concat(lit("https://www."), $"source", lit(".example.com"))
+      val url = concat(base,
+        when(pmod($"doc_id", lit(5)) === 0,
+          concat(lit("/politics/2024/05/12/story-"), $"doc_id", lit(".html")))
+        .when(pmod($"doc_id", lit(5)) === 1, lit("/about/team.html"))
+        .when(pmod($"doc_id", lit(5)) === 2, lit("/tag/item?share=twitter"))
+        .when(pmod($"doc_id", lit(5)) === 3,
+          lit("/read/breaking_news_market_update_today_analysis"))
+        .otherwise(lit("/assets/logo.png")))
+      d.select($"doc_id", url.as("url"))
+        .withColumn("canon", GraftFunctions.cleanUrl($"url"))
+        .withColumn("host", GraftFunctions.principalDomain($"url"))
+        .withColumn("ftype", GraftFunctions.filetypeOf($"url"))
+        .withColumn("navigable", GraftFunctions.isNavigable($"url"))
+        .withColumn("news", GraftFunctions.isNewsUrl($"url"))
+    }),
+
+    // Streaming-analog tumbling-window rollup (event-time, hourly)
+    "q20_window_rollup" -> ((s, dir) => {
+      t(s, dir, "events")
+        .withColumn("es", unix_timestamp($"ts"))
+        .withColumn("hour_s", ($"es" - pmod($"es", lit(3600))).cast("long"))
+        .groupBy($"hour_s", $"event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(dec2($"value")).cast("double").as("v_sum"))
+    }),
+
+    // Training-data: LSH-bucketed approximate ANN (scale path; rows-only)
+    "q21_ann_lsh" -> ((s, dir) =>
+      Similarity.lshTopK(t(s, dir, "embeddings"), "vec_id", "embedding",
+        $"vec_id" < 50, k = 5, dim = 64, bits = 8)
+        .select($"qid", $"nid", $"rank")),
+  )
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omit for non-SQL-expressible ops.
+    */
+  def oracleSql: Map[String, String] = Map(
+    "q01_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price,
+        |  count(*) AS n_rows,
+        |  count(DISTINCT l_orderkey) AS n_orders
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q02_near_dup_filter" ->
+      """SELECT source, count(*) AS kept
+        |FROM documents
+        |WHERE length(text) > 200
+        |  AND text IN (SELECT text FROM documents GROUP BY text HAVING count(*) < 4)
+        |GROUP BY source""".stripMargin,
+
+    "q03_topk_per_key" ->
+      """SELECT user_id, event_id, rn FROM (
+        |  SELECT user_id, event_id,
+        |    CAST(row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS BIGINT) AS rn
+        |  FROM events) WHERE rn <= 3""".stripMargin,
+
+    "q04_anti_join" ->
+      """SELECT c_custkey, c_mktsegment FROM customer c
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o
+        |  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)""".stripMargin,
+
+    "q05_join_agg" ->
+      """SELECT p_brand,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY p_brand""".stripMargin,
+
+    "q06_union_dedup" ->
+      """SELECT DISTINCT key FROM (
+        |  SELECT o_custkey AS key FROM orders
+        |  UNION ALL SELECT c_custkey AS key FROM customer)""".stripMargin,
+
+    "q07_frontier_refill" ->
+      """SELECT event_id, event_type FROM events
+        |ORDER BY (CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) DESC, event_id
+        |LIMIT 200""".stripMargin,
+
+    "q08_exact_dedup" ->
+      """SELECT md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS text_md5,
+        |  CAST(min(doc_id) AS BIGINT) AS keep_id,
+        |  count(*) AS n_copies
+        |FROM documents GROUP BY 1""".stripMargin,
+
+    "q09_token_stats" ->
+      """SELECT doc_id,
+        |  CAST(len(list_filter(string_split_regex(text, ' +'), x -> len(x) > 0)) AS BIGINT) AS n_tokens,
+        |  CAST(length(text) AS BIGINT) AS n_chars_m
+        |FROM documents""".stripMargin,
+
+    "q10_quality_score" ->
+      """SELECT doc_id,
+        |  len(regexp_replace(text, '[^a-zA-Z]', '', 'g')) / length(text) AS alpha_ratio,
+        |  len(list_filter(list_filter(string_split_regex(text, ' +'), x -> len(x) > 0), x -> (x = 'the' OR x = 'a')))
+        |    / len(list_filter(string_split_regex(text, ' +'), x -> len(x) > 0)) AS stop_ratio
+        |FROM documents""".stripMargin,
+
+    "q12_sessionize" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS es FROM events),
+        |g AS (
+        |  SELECT user_id, event_id, es,
+        |    CASE WHEN lag(es) OVER w IS NULL OR es - lag(es) OVER w > 1800 THEN 1 ELSE 0 END AS brk
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY es, event_id)),
+        |s AS (
+        |  SELECT user_id, es,
+        |    CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY es, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+        |  FROM g)
+        |SELECT user_id, session_id, count(*) AS n_events,
+        |  min(es) AS start_s, max(es) AS end_s
+        |FROM s GROUP BY user_id, session_id""".stripMargin,
+
+    "q13_ngram_jaccard" ->
+      """WITH toks AS (
+        |  SELECT doc_id, source,
+        |    list_filter(string_split_regex(text, ' +'), x -> len(x) > 0) AS w
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, source,
+        |    unnest(list_distinct(list_transform(range(1, len(w) - 1),
+        |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS shingle
+        |  FROM toks WHERE len(w) >= 3),
+        |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+        |inter AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS cnt
+        |  FROM sh a JOIN sh b
+        |    ON a.source = b.source AND a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT doc_a, doc_b, cnt / (sa.sz + sb.sz - cnt) AS jaccard
+        |FROM inter
+        |JOIN sizes sa ON sa.doc_id = doc_a
+        |JOIN sizes sb ON sb.doc_id = doc_b
+        |WHERE cnt / (sa.sz + sb.sz - cnt) >= 0.2""".stripMargin,
+
+    "q14_cosine_topk" ->
+      """WITH f AS (
+        |  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
+        |    unnest(range(len(embedding))) AS i
+        |  FROM embeddings),
+        |n AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM f GROUP BY vec_id),
+        |d AS (
+        |  SELECT a.vec_id AS qid, b.vec_id AS nid, sum(a.v * b.v) AS dot
+        |  FROM f a JOIN f b ON a.i = b.i AND a.vec_id < 10 AND b.vec_id <> a.vec_id
+        |  GROUP BY 1, 2),
+        |s AS (
+        |  SELECT qid, nid, round(dot / (na.nrm * nb.nrm), 9) AS sim
+        |  FROM d JOIN n na ON na.vec_id = qid JOIN n nb ON nb.vec_id = nid),
+        |r AS (
+        |  SELECT qid, nid,
+        |    CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS BIGINT) AS rank
+        |  FROM s)
+        |SELECT qid, nid, rank FROM r WHERE rank <= 5""".stripMargin,
+
+    "q18_binary_stats" ->
+      """SELECT doc_id, strlen(text) AS n_bytes,
+        |  CAST(ascii(text) AS BIGINT) AS first_byte
+        |FROM documents""".stripMargin,
+
+    "q19_url_algebra" ->
+      """WITH u AS (
+        |  SELECT doc_id, source, doc_id % 5 AS m,
+        |    'https://www.' || source || '.example.com' ||
+        |    CASE doc_id % 5
+        |      WHEN 0 THEN '/politics/2024/05/12/story-' || doc_id || '.html'
+        |      WHEN 1 THEN '/about/team.html'
+        |      WHEN 2 THEN '/tag/item?share=twitter'
+        |      WHEN 3 THEN '/read/breaking_news_market_update_today_analysis'
+        |      ELSE '/assets/logo.png' END AS url
+        |  FROM documents)
+        |SELECT doc_id, url,
+        |  CASE WHEN m = 2 THEN 'https://www.' || source || '.example.com/tag/item' ELSE url END AS canon,
+        |  source || '.example.com' AS host,
+        |  CASE WHEN m IN (0, 1) THEN 'html' WHEN m = 4 THEN 'png' ELSE NULL END AS ftype,
+        |  m IN (0, 3) AS navigable,
+        |  m IN (0, 3) AS news
+        |FROM u""".stripMargin,
+
+    "q20_window_rollup" ->
+      """SELECT es - (es % 3600) AS hour_s, event_type, count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS v_sum
+        |FROM (SELECT CAST(floor(epoch(ts)) AS BIGINT) AS es, event_type, value FROM events)
+        |GROUP BY 1, 2""".stripMargin,
+  )
 }

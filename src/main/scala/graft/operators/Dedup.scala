@@ -1,0 +1,162 @@
+package graft
+package operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.functions.TextOps
+
+/** Deduplication operators for web-text corpora. Every operator is a pure
+  * DataFrame→DataFrame transform built from codegen'd expressions; shuffles
+  * only on the dedup key. Capability root in the reference: near-dup corpus
+  * filter /root/reference/script2.py:8-21 (GROUP BY text HAVING count<4)
+  * and URL dedup via `pages.url UNIQUE`
+  * (/root/reference/storage_tools/_datacollector_statements.py:13).
+  *
+  * Scale notes (100 TB): all variants group/join on a 64-bit or 128-bit
+  * hash of content, never on the raw text (shuffle payload = key + id);
+  * candidate generation is blocked (LSH bands / simhash buckets / same
+  * `blockCol`) so the verify joins are bucket-local, not all-pairs.
+  */
+object Dedup {
+
+  /** Exact dedup: one row per distinct normalized text, keeping the
+    * lowest id. Map-side partial aggregation handles the common case of
+    * duplicates co-located within an input split.
+    */
+  def exact(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs
+      .withColumn("text_md5", TextOps.fingerprint(col(textCol)))
+      .groupBy($"text_md5")
+      .agg(min(col(idCol)).cast("long").as("keep_id"),
+           count(lit(1)).as("n_copies"))
+
+  /** MinHash signature: k=numHashes min-values of the hash family
+    * h_i(s) = xxhash64(s, i) (seeded by the extra literal column — ANSI-
+    * safe, codegen'd). One shuffle: groupBy(id).
+    */
+  def minHashSignatures(docs: DataFrame, idCol: String, textCol: String,
+                        numHashes: Int = 16, shingleSize: Int = 3): DataFrame = {
+    val toks = TextOps.tokens(col(textCol))
+    val sh = explode(array_distinct(TextOps.shingles(toks, shingleSize))).as("shingle")
+    val base = docs.select(col(idCol).cast("long").as("doc_id"), sh)
+    val mins = (0 until numHashes).map { i =>
+      min(xxhash64($"shingle", lit(i))).as(s"m$i")
+    }
+    base.groupBy($"doc_id").agg(mins.head, mins.tail: _*)
+  }
+
+  /** MinHash+LSH near-dup candidates: band the signature (bandsize rows
+    * per band), bucket-join docs sharing any band hash, then verify with
+    * exact shingle Jaccard. Returns (doc_a, doc_b, jaccard) with
+    * doc_a < doc_b and jaccard ≥ threshold.
+    *
+    * Shuffle profile: sig groupBy, one explode(bands)+self-join keyed on
+    * (band_idx, band_hash) — bucket-local, never all-pairs — then a
+    * shingle join only over surviving candidate pairs.
+    */
+  def minHashLsh(docs: DataFrame, idCol: String, textCol: String,
+                 numHashes: Int = 16, bands: Int = 4,
+                 shingleSize: Int = 3, threshold: Double = 0.5): DataFrame = {
+    val sigs = minHashSignatures(docs, idCol, textCol, numHashes, shingleSize)
+    val rowsPerBand = numHashes / bands
+    val bandCols = (0 until bands).map { bIdx =>
+      val cols = (0 until rowsPerBand).map(r => col(s"m${bIdx * rowsPerBand + r}"))
+      struct(lit(bIdx).as("band_idx"), xxhash64(cols: _*).as("band_hash"))
+    }
+    val banded = sigs.select($"doc_id", explode(array(bandCols: _*)).as("band"))
+      .select($"doc_id", $"band.band_idx", $"band.band_hash")
+    val cand = banded.as("a").join(banded.as("b"),
+        col("a.band_idx") === col("b.band_idx") &&
+        col("a.band_hash") === col("b.band_hash") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val jac = jaccardOf(docs, idCol, textCol, shingleSize)
+    cand.join(jac, Seq("doc_a", "doc_b"), "inner")
+      .filter($"jaccard" >= threshold)
+      .select($"doc_a", $"doc_b", $"jaccard")
+  }
+
+  /** Exact n-gram Jaccard for all pairs that share ≥1 shingle (the join
+    * itself is the blocking step). Emits (doc_a, doc_b, jaccard).
+    */
+  def jaccardOf(docs: DataFrame, idCol: String, textCol: String,
+                shingleSize: Int): DataFrame = {
+    val toks = TextOps.tokens(col(textCol))
+    val sh = docs.select(col(idCol).cast("long").as("doc_id"),
+        explode(array_distinct(TextOps.shingles(toks, shingleSize))).as("shingle"))
+      .withColumn("sh", xxhash64($"shingle")).drop("shingle")
+    val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("sz"))
+    val inter = sh.as("a").join(sh.as("b"),
+        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sz", "sz_a"), "doc_a")
+      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sz", "sz_b"), "doc_b")
+      .withColumn("jaccard", $"inter".cast("double") / ($"sz_a" + $"sz_b" - $"inter"))
+      .select($"doc_a", $"doc_b", $"jaccard")
+  }
+
+  /** N-gram Jaccard near-dup pairs within a blocking column (e.g. same
+    * source/host) — the fully SQL-expressible variant used for the
+    * DuckDB-verified query.
+    */
+  def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
+                        blockCol: String, shingleSize: Int,
+                        threshold: Double): DataFrame = {
+    val toks = TextOps.tokens(col(textCol))
+    val sh = docs.select(col(idCol).cast("long").as("doc_id"), col(blockCol).as("blk"),
+      explode(array_distinct(TextOps.shingles(toks, shingleSize))).as("shingle"))
+    val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("sz"))
+    val inter = sh.as("a").join(sh.as("b"),
+        col("a.blk") === col("b.blk") && col("a.shingle") === col("b.shingle") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sz", "sz_a"), "doc_a")
+      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sz", "sz_b"), "doc_b")
+      .withColumn("jaccard", $"inter".cast("double") / ($"sz_a" + $"sz_b" - $"inter"))
+      .filter($"jaccard" >= threshold)
+      .select($"doc_a", $"doc_b", $"jaccard")
+  }
+
+  /** 64-bit SimHash over term frequencies, entirely in-plan: per-(doc,term)
+    * counts, then 64 signed bit-sums, then bit reassembly. Two shuffles
+    * (both on doc_id). Near-dup = small Hamming distance on the result.
+    */
+  def simHash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tf = docs
+      .select(col(idCol).cast("long").as("doc_id"),
+        explode(TextOps.tokens(col(textCol))).as("term"))
+      .groupBy($"doc_id", xxhash64($"term").as("th"))
+      .agg(count(lit(1)).as("w"))
+    val bitSums = (0 until 64).map { j =>
+      sum(when(shiftright($"th", j).bitwiseAND(lit(1L)) === 1L, $"w")
+        .otherwise(-$"w")).as(s"b$j")
+    }
+    val agg = tf.groupBy($"doc_id").agg(bitSums.head, bitSums.tail: _*)
+    val hash = (0 until 64).map { j =>
+      when(col(s"b$j") > 0, lit(1L << j)).otherwise(0L)
+    }.reduce(_ + _)
+    agg.select($"doc_id", hash.as("simhash"))
+  }
+
+  /** SimHash near-dup pairs: block on the top `blockBits` bits (near-dups
+    * almost always agree there), verify with bit_count(xor) ≤ maxHamming.
+    */
+  def simHashPairs(docs: DataFrame, idCol: String, textCol: String,
+                   maxHamming: Int = 8, blockBits: Int = 12): DataFrame = {
+    val h = simHash(docs, idCol, textCol)
+      .withColumn("blk", shiftrightunsigned($"simhash", 64 - blockBits))
+    h.as("a").join(h.as("b"),
+        col("a.blk") === col("b.blk") && col("a.doc_id") < col("b.doc_id"))
+      .withColumn("hamming", bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))))
+      .filter($"hamming" <= maxHamming)
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        $"hamming".cast("long").as("hamming"))
+  }
+}

