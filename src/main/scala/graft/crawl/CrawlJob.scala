@@ -1,0 +1,244 @@
+package graft
+package crawl
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** The distributed crawl: batch-iterative frontier waves over the input
+  * pages table (BASELINE.json input_hint shape), replacing the reference's
+  * threads+SQLite loop (/root/reference/crawling_tools/crawler.py:65-88)
+  * with declarative per-wave plans — scan/joins/windows that Catalyst
+  * plans and AQE re-plans at runtime.
+  *
+  * Wave w (state snapshot w → snapshot w+1):
+  *   1. eligible = pending ∧ attempts < maxAttempts            (P11/P12)
+  *   2. wave     = per-host priority top-B                     (A4/W1/W3)
+  *   3. fetch    = wave ⋈ pages on urlKey (+ ckey equality
+  *                 backstop against 64-bit collisions)         (J5/S4)
+  *   4. parse    = mapPartitions(PageParse) → articles + links (F-layer)
+  *   5. expand   = posexplode(links) → canonicalize → robots
+  *                 → wave-local dedup (min discovery tuple)    (P1-P9/SO4)
+  *   6. new      = candidates anti-join seen (Bloom prefilter) (J1)
+  *   7. fold     = state left-join wave results + union new    (S6/S7)
+  *   8. commit   = snapshot + articles + manifest (atomic)     (ST4)
+  *
+  * Scale notes: state and candidates shuffle on the 8-byte urlKey, never
+  * on url strings; the politeness window is the only host-keyed stage and
+  * is skew-bounded (Scheduler); articles leave the state fold entirely;
+  * per-wave lineage is truncated by reading the committed snapshot back
+  * from disk (no unbounded iterative plan growth).
+  */
+object CrawlJob {
+
+  case class Config(
+      pagesPath: String,
+      storeRoot: String,
+      seeds: Seq[String],
+      hostBudget: Int = 6,
+      maxAttempts: Int = 2,
+      maxWaves: Int = 10000,
+      bloomFpp: Double = 0.03)
+
+  /** scheme-stripped canonical key, in-plan (matches the reference's
+    * UNIQUE key = url minus scheme, /root/reference/utils.py:334-340).
+    */
+  private def ckeyOf(url: org.apache.spark.sql.Column) =
+    regexp_replace(url, "^https?://", "")
+
+  /** Input pages keyed for the fetch join. Only (urlKey, ckey, url, html)
+    * — column pruning keeps text/lang out of the fetch scan.
+    */
+  def keyedPages(spark: SparkSession, cfg: Config): DataFrame =
+    spark.read.parquet(cfg.pagesPath)
+      .select($"url", $"html")
+      .withColumn("ckey", ckeyOf($"url"))
+      .withColumn("urlKey", xxhash64($"ckey"))
+
+  /** robots.txt rules per host, collected once (tiny: ≤1 row/host). */
+  def robotsRules(spark: SparkSession, cfg: Config): Map[String, Seq[String]] =
+    spark.read.parquet(cfg.pagesPath)
+      .filter($"url".endsWith("/robots.txt"))
+      .select($"url", $"text")
+      .collect()
+      .map { r =>
+        val host = UrlOps.getPrincipalDomain(r.getString(0))
+        host -> Robots.parse(r.getString(1))
+      }.toMap
+
+  /** Seed state (wave-0 snapshot): cleaned, deduped (main.py:11-13),
+    * hostRank = seed order.
+    */
+  def initState(spark: SparkSession, cfg: Config): DataFrame = {
+    import spark.implicits._
+    val rows = cfg.seeds.zipWithIndex.map { case (s, i) =>
+      val cleaned = UrlOps.cleanUrl(s, removeArguments = false)
+      (cleaned, UrlOps.getPrincipalDomain(cleaned), i)
+    }.distinctBy(_._1)
+    rows.toDF("url", "host", "hostRank")
+      .withColumn("ckey", ckeyOf($"url"))
+      .withColumn("urlKey", xxhash64($"ckey"))
+      .withColumn("isWebnews", GraftUdfs.isNews($"url"))
+      .withColumn("discWave", lit(0))
+      .withColumn("parentRank", lit(-1L))
+      .withColumn("linkIdx", $"hostRank")
+      .withColumn("status", lit(Status.Pending))
+      .withColumn("attempts", lit(0))
+      .withColumn("fetchWave", lit(-1))
+      .withColumn("scheduledRank", lit(-1L))
+      .withColumn("urlToRefer", lit(null).cast("string"))
+      .select(stateCols: _*)
+  }
+
+  private val stateColNames = Seq("urlKey", "ckey", "url", "host", "hostRank",
+    "isWebnews", "discWave", "parentRank", "linkIdx", "status", "attempts",
+    "fetchWave", "scheduledRank", "urlToRefer")
+  private def stateCols = stateColNames.map(col)
+
+  /** One wave. Returns (nextState, articles, metrics). */
+  def runWave(spark: SparkSession, state: DataFrame, pages: DataFrame,
+              rules: Map[String, Seq[String]], wave: Int, cfg: Config,
+              seenCountHint: Long): (DataFrame, DataFrame, WaveMetrics) = {
+    import spark.implicits._
+
+    val eligible = state.filter($"status" === Status.Pending &&
+      $"attempts" < cfg.maxAttempts)
+    val waveSet = Scheduler.selectWave(eligible, cfg.hostBudget)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val scheduled = waveSet.count()
+
+    // fetch: left join pages; ckey string equality guards hash collisions
+    val joined = waveSet.join(
+        pages.select($"urlKey", $"ckey", $"html"), Seq("urlKey", "ckey"), "left")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    val hits = joined.filter($"html".isNotNull)
+    val parsed = hits
+      .select($"urlKey", $"ckey", $"url", $"host", $"hostRank",
+        $"scheduledRank", $"html")
+      .as[(Long, String, String, String, Int, Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (k, ck, u, h, hr, rk, html) =>
+          val p = PageParse.parse(html, u)
+          FetchedPage(k, ck, u, h, hr, rk, p.title, p.text, p.links)
+        }
+      }
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    val articles = parsed.select($"urlKey", $"url", $"host",
+      lit(wave).as("fetchWave"), $"title", $"text",
+      lit("it").as("lang"), lit(false).as("isWebnewsMeta"),
+      size($"links").as("nLinks"))
+
+    // frontier expansion: document-order link index, canonicalize, robots
+    val rulesBc = spark.sparkContext.broadcast(rules)
+    val disallowedUdf = udf((host: String, url: String) =>
+      Robots.isDisallowed(rulesBc.value, host, url))
+    val rawCand = parsed
+      .select($"host", $"hostRank", $"scheduledRank".as("parentRank"),
+        posexplode($"links").as(Seq("linkIdx", "url")))
+      .withColumn("ckey", ckeyOf($"url"))
+      .withColumn("urlKey", xxhash64($"ckey"))
+      .withColumn("isWebnews", GraftUdfs.isNews($"url"))
+      .withColumn("status", when(disallowedUdf($"host", $"url"),
+        Status.Disallowed).otherwise(Status.Pending))
+
+    // wave-local dedup: keep the earliest discovery tuple per urlKey
+    val cand = rawCand
+      .groupBy($"urlKey", $"ckey")
+      .agg(min_by(
+        struct($"url", $"host", $"hostRank", $"isWebnews", $"parentRank",
+          $"linkIdx", $"status"),
+        struct($"parentRank", $"linkIdx")).as("r"))
+      .select($"urlKey", $"ckey", $"r.url", $"r.host", $"r.hostRank",
+        $"r.isWebnews", lit(wave).as("discWave"), $"r.parentRank",
+        $"r.linkIdx", $"r.status", lit(0).as("attempts"),
+        lit(-1).as("fetchWave"), lit(-1L).as("scheduledRank"),
+        lit(null).cast("string").as("urlToRefer"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val candCount = cand.count()
+
+    val newRows = SeenSet.filterNew(cand, state, seenCountHint, cfg.bloomFpp)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val newCount = newRows.count()
+    val disallowedCount = newRows.filter($"status" === Status.Disallowed).count()
+
+    // state fold: apply wave outcomes, then append the new discoveries
+    val outcomes = joined.select($"urlKey", $"ckey",
+      $"scheduledRank".as("rk"), $"html".isNotNull.as("hit"))
+    val folded = state.join(outcomes, Seq("urlKey", "ckey"), "left")
+      .withColumn("status2",
+        when($"hit".isNull, $"status")
+          .when($"hit", lit(Status.Fetched))
+          .when($"attempts" + 1 >= cfg.maxAttempts, lit(Status.Failed))
+          .otherwise(lit(Status.Pending)))
+      .withColumn("attempts2",
+        when($"hit".isNull || $"hit", $"attempts").otherwise($"attempts" + 1))
+      .withColumn("fetchWave2",
+        when($"hit".isNotNull && $"hit", lit(wave)).otherwise($"fetchWave"))
+      .withColumn("scheduledRank2",
+        when($"hit".isNotNull && $"hit", $"rk").otherwise($"scheduledRank"))
+      .drop("status", "attempts", "fetchWave", "scheduledRank", "hit", "rk")
+      .withColumnRenamed("status2", "status")
+      .withColumnRenamed("attempts2", "attempts")
+      .withColumnRenamed("fetchWave2", "fetchWave")
+      .withColumnRenamed("scheduledRank2", "scheduledRank")
+      .select(stateCols: _*)
+
+    val nextState = folded.unionByName(newRows.select(stateCols: _*))
+
+    val fetchedCount = parsed.count()
+    val failedFinal = folded.filter($"status" === Status.Failed &&
+      $"attempts" >= cfg.maxAttempts).count()
+    val metrics = WaveMetrics(
+      wave = wave,
+      scheduled = scheduled,
+      fetched = fetchedCount,
+      failedFinal = failedFinal,
+      retried = scheduled - fetchedCount,
+      newLinks = newCount,
+      dupLinks = candCount - newCount,
+      disallowed = disallowedCount,
+      pendingAfter = -1) // filled after commit from the snapshot
+
+    (nextState, articles.toDF(), metrics)
+  }
+
+  /** Full crawl (or resume from the latest committed snapshot). Returns
+    * the final committed wave id.
+    */
+  def run(spark: SparkSession, cfg: Config,
+          stopAfterWaves: Int = Int.MaxValue): Int = {
+    val store = new FrontierStore(cfg.storeRoot)
+    val pages = keyedPages(spark, cfg)
+    val rules = robotsRules(spark, cfg)
+
+    var wave = store.latestWave().getOrElse {
+      val init = initState(spark, cfg)
+      store.commitWave(spark, 0, init, None,
+        WaveMetrics(0, 0, 0, 0, 0, cfg.seeds.size, 0, 0, cfg.seeds.size))
+      0
+    }
+    var state = store.readState(spark, wave)
+    var seenCount = state.count()
+    var wavesRun = 0
+
+    while (wavesRun < stopAfterWaves && wave < cfg.maxWaves &&
+        state.filter($"status" === Status.Pending &&
+          $"attempts" < cfg.maxAttempts).limit(1).count() > 0) {
+      val (next, articles, m) = runWave(spark, state, pages, rules, wave, cfg, seenCount)
+      store.commitWave(spark, wave + 1, next, Some(articles), m)
+      spark.sharedState.cacheManager.clearCache()
+      wave += 1
+      wavesRun += 1
+      state = store.readState(spark, wave)
+      seenCount = state.count()
+    }
+    wave
+  }
+}
+
+/** UDF handles shared by crawl stages (constructed once, serializable). */
+object GraftUdfs {
+  val isNews = udf((u: String) => NewsUrl.isNewsUrl(u))
+}

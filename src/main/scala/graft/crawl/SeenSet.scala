@@ -1,0 +1,47 @@
+package graft
+package crawl
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The URL-seen set (J1): exact membership = left-anti join of candidates
+  * against state on `urlKey`, with an optional Bloom prefilter.
+  *
+  * The reference's seen set is `pages.url UNIQUE` + `INSERT OR IGNORE`
+  * (/root/reference/storage_tools/_datacollector_statements.py:13,
+  * datacollector.py:292-303) — exact by construction. Exactness here is
+  * guaranteed by the anti-join BACKSTOP; the Bloom filter is only a
+  * prefilter that lets the (overwhelmingly common at crawl steady state)
+  * already-seen candidates skip the shuffle entirely:
+  *   - mightContain == false  → provably unseen → keep, no join needed
+  *   - mightContain == true   → suspect → exact anti-join decides
+  * False-positive rate therefore affects only how many rows pay the
+  * shuffle, never correctness (SURVEY.md §2.9).
+  *
+  * Scale: at 10^10 seen URLs a single Bloom at 10 bits/key is ~12.5 GB —
+  * too big to broadcast; the cluster path shards the state by
+  * pmod(urlKey, P) and builds/probes one filter per shard (same API,
+  * filter keyed by shard), or skips the prefilter and relies on the
+  * bucketed sort-merge anti-join. Both paths keep the anti-join backstop.
+  */
+object SeenSet {
+
+  /** Candidates strictly newer than `seen`, exact. `bloomFpp <= 0` or
+    * small seen sets skip the prefilter (not worth the build scan).
+    */
+  def filterNew(candidates: DataFrame, seen: DataFrame,
+                seenCountHint: Long, bloomFpp: Double = 0.03): DataFrame = {
+    val seenKeys = seen.select("urlKey")
+    if (bloomFpp <= 0 || seenCountHint < 10000) {
+      candidates.join(seenKeys, Seq("urlKey"), "left_anti")
+    } else {
+      val bf = seenKeys.stat.bloomFilter("urlKey", math.max(seenCountHint, 1L), bloomFpp)
+      val bc = candidates.sparkSession.sparkContext.broadcast(bf)
+      val mightContain = udf((k: Long) => bc.value.mightContainLong(k))
+      val definitelyNew = candidates.filter(!mightContain($"urlKey"))
+      val suspects = candidates.filter(mightContain($"urlKey"))
+        .join(seenKeys, Seq("urlKey"), "left_anti")
+      definitelyNew.unionByName(suspects)
+    }
+  }
+}

@@ -1,0 +1,171 @@
+package graft
+package synth
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deterministic synthetic web generator (FIXTURES.md §1): emits the input
+  * table of BASELINE.json `input_hint` shape —
+  * (url string, warc_ts timestamp, html binary, text string, lang string) —
+  * as a pure function of the row index (no RNG state, no Date.now), so any
+  * scale regenerates identically and generation parallelizes embarrassingly
+  * via spark.range.
+  *
+  * Graph shape:
+  *  - `nHosts` hosts; host 0 is a MEGA-HOST holding ~50% of all pages
+  *    (skew-mitigation test bed, SURVEY.md §7.4).
+  *  - per host: page 0 = /index.html hub (the seed), article/hub/private
+  *    templates cycling by page-number mod 5; links stay intra-host (plus
+  *    deliberate cross-host + non-navigable + tracking-query + dangling
+  *    links that exercise the frontier filters).
+  *  - one /robots.txt page per host disallowing /private/.
+  */
+object WebGen {
+
+  case class Config(nPages: Long, nHosts: Int) {
+    require(nHosts >= 2 && nPages >= nHosts * 4L)
+    /** host sizes: host0 = half, remainder split evenly (last host absorbs
+      * the remainder).
+      */
+    val sizes: Array[Long] = {
+      val s = new Array[Long](nHosts)
+      s(0) = nPages / 2
+      val rest = nPages - s(0)
+      val each = rest / (nHosts - 1)
+      var h = 1
+      while (h < nHosts) { s(h) = each; h += 1 }
+      s(nHosts - 1) += rest - each * (nHosts - 1)
+      s
+    }
+    val offsets: Array[Long] = sizes.scanLeft(0L)(_ + _)
+    def hostOf(i: Long): Int = {
+      var h = java.util.Arrays.binarySearch(offsets, i)
+      if (h < 0) h = -h - 2
+      if (h >= nHosts) nHosts - 1 else h
+    }
+  }
+
+  def hostName(h: Int): String = s"host$h.example.com"
+  def base(h: Int): String = s"https://www.${hostName(h)}"
+  def seeds(cfg: Config): Seq[String] = (0 until cfg.nHosts).map(h => s"${base(h)}/index.html")
+
+  /** Path of page p on host h — pure, total. */
+  def pathOf(h: Int, p: Long): String = {
+    if (p == 0L) "/index.html"
+    else (p % 5).toInt match {
+      case 1 | 2 => s"/news/2024/03/${p % 28 + 1}/story-$p.html"
+      case 3     => s"/sezione/list-$p.html"
+      case 4     => s"/cronaca/item-$p.html"
+      case _     => s"/private/doc-$p.html" // robots-disallowed
+    }
+  }
+
+  def urlOf(h: Int, p: Long): String = base(h) + pathOf(h, p)
+
+  /** Deterministic pseudo-words for page bodies. */
+  private val words = Array("governo", "mercato", "squadra", "citta", "voto",
+    "banca", "tempo", "scuola", "strada", "teatro", "giorno", "parola",
+    "lavoro", "storia", "regione", "popolo")
+
+  private def mix(h: Int, p: Long, k: Int): Int = {
+    var z = (h.toLong << 40) ^ (p * 0x9E3779B97F4A7C15L) ^ (k * 0xC2B2AE3D27D4EB4FL)
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    ((z ^ (z >>> 31)) & 0x7fffffff).toInt
+  }
+
+  def titleOf(h: Int, p: Long): String = s"Articolo $p — host$h"
+
+  private def sentence(h: Int, p: Long, k: Int, n: Int): String =
+    (0 until n).map(j => words(mix(h, p, k * 97 + j) % words.length)).mkString(" ")
+
+  /** Out-link page numbers of page p within host h (intra-host, closed). */
+  def linkTargets(h: Int, p: Long, nh: Long): Seq[Long] = {
+    if (p == 0L) {
+      // hub: fan out to the first pages of the host
+      (1L until math.min(13L, nh)).toSeq
+    } else (p % 5).toInt match {
+      case 1 | 2 => Seq((2 * p + 1) % nh, (3 * p + 2) % nh)
+      case 3     => Seq((p + 1) % nh, (2 * p + 1) % nh, (7 * p + 3) % nh)
+      case 4     => Seq((p + 2) % nh)
+      case _     => Seq.empty
+    }
+  }
+
+  /** Full page HTML — the link layout exercises every frontier filter:
+    * relative + absolute hrefs, a tracking-query dup, a cross-host link,
+    * a non-navigable /about link, and (template 4) a dangling news link.
+    */
+  def htmlOf(cfg: Config, h: Int, p: Long): String = {
+    val nh = cfg.sizes(h)
+    val b = base(h)
+    val targets = linkTargets(h, p, nh)
+    val sb = new StringBuilder(512)
+    sb.append("<html lang=\"it\"><head><title>").append(titleOf(h, p))
+      .append("</title></head><body>")
+    sb.append("<nav><a href=\"/index.html\">home</a></nav>")
+    sb.append("<article><p>").append(sentence(h, p, 1, 14)).append("</p><p>")
+      .append(sentence(h, p, 2, 11)).append("</p></article>")
+    targets.zipWithIndex.foreach { case (tp, i) =>
+      // alternate absolute/relative hrefs (relative-href fixing, F4)
+      val href = if (i % 2 == 0) urlOf(h, tp) else pathOf(h, tp)
+      sb.append("<a href=\"").append(href).append("\">l").append(i).append("</a>")
+    }
+    if (p == 0L) {
+      // canonicalization dup: same target with a tracking query
+      sb.append("<a href=\"").append(urlOf(h, 1L)).append("?utm_source=feed\">dup</a>")
+      // non-navigable (BAD_TOKENS 'about') and cross-host (dropped by P6)
+      sb.append("<a href=\"").append(b).append("/about/team.html\">about</a>")
+      sb.append("<a href=\"").append(base((h + 1) % cfg.nHosts)).append("/index.html\">other</a>")
+    }
+    if (p % 5 == 4) // dangling news link: in-frontier but never in the table
+      sb.append("<a href=\"").append(b).append(s"/news/2024/04/5/ghost-$p-missing.html").append("\">g</a>")
+    sb.append("</body></html>")
+    sb.toString
+  }
+
+  /** Reference-semantics extracted text of the page (v1: article paragraph
+    * join — upgraded in lockstep with the extractor port; the invariant
+    * `extract(html) == text` byte-identical is what tests assert).
+    */
+  def textOf(h: Int, p: Long): String =
+    sentence(h, p, 1, 14) + "\n\n" + sentence(h, p, 2, 11)
+
+  val RobotsBody = "User-agent: *\nDisallow: /private/\n"
+
+  /** Row i of the generated table (robots rows occupy [nPages, nPages+H)). */
+  def rowAt(cfg: Config, i: Long): (String, Long, Array[Byte], String, String) = {
+    val ts = 1700000000L + i
+    if (i >= cfg.nPages) {
+      val h = (i - cfg.nPages).toInt
+      (s"${base(h)}/robots.txt", ts,
+        RobotsBody.getBytes("UTF-8"), RobotsBody, "")
+    } else {
+      val h = cfg.hostOf(i)
+      val p = i - cfg.offsets(h)
+      val html = htmlOf(cfg, h, p)
+      (urlOf(h, p), ts, html.getBytes("UTF-8"), textOf(h, p), "it")
+    }
+  }
+
+  /** Distributed generation → DataFrame(url, warc_ts, html, text, lang). */
+  def generate(spark: SparkSession, cfg: Config): DataFrame = {
+    import spark.implicits._
+    spark.range(cfg.nPages + cfg.nHosts)
+      .mapPartitions { it =>
+        it.map { i => WebGen.rowAt(cfg, i) }
+      }
+      .toDF("url", "ts_s", "html", "text", "lang")
+      .withColumn("warc_ts", timestamp_seconds($"ts_s")).drop("ts_s")
+      .select($"url", $"warc_ts", $"html", $"text", $"lang")
+  }
+
+  /** Generate and persist as the crawl input table, partition-pruned by
+    * host-hash bucket directory (pmod(xxhash64(url),64)) — the stand-in
+    * for Iceberg bucket partitioning (SURVEY.md §7.0).
+    */
+  def writeTable(spark: SparkSession, cfg: Config, path: String): Unit =
+    generate(spark, cfg)
+      .withColumn("bucket", pmod(xxhash64($"url"), lit(64)))
+      .write.mode("overwrite").partitionBy("bucket").parquet(path)
+}

@@ -1,0 +1,129 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.crawl._
+import graft.synth.WebGen
+
+/** Crawl-equivalence (SURVEY.md §5.4): the distributed engine must match
+  * the sequential RefSpec oracle on fetch order, final seen-set, statuses
+  * and attempts — under the same seed list + politeness budget. Plus
+  * extraction invariant and kill-and-resume.
+  */
+class CrawlSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "8")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private lazy val webCfg = WebGen.Config(nPages = 400, nHosts = 4)
+  private lazy val pagesPath = {
+    val dir = Files.createTempDirectory("graftweb").toString
+    WebGen.writeTable(spark, webCfg, dir)
+    dir
+  }
+
+  private def crawlCfg(store: String, maxWaves: Int = 10000) = CrawlJob.Config(
+    pagesPath = pagesPath,
+    storeRoot = store,
+    seeds = WebGen.seeds(webCfg),
+    hostBudget = 6,
+    maxWaves = maxWaves)
+
+  private lazy val refResult: RefSpec.SpecResult = {
+    val pages = spark.read.parquet(pagesPath)
+      .select($"url", $"html").collect()
+      .map(r => (r.getString(0).replaceFirst("^https?://", ""),
+        (r.getString(0), r.getAs[Array[Byte]]("html")))).toMap
+    val rules = CrawlJob.robotsRules(spark, crawlCfg("/tmp/unused"))
+    RefSpec.run(pages, WebGen.seeds(webCfg), rules, hostBudget = 6)
+  }
+
+  private lazy val sparkRun: (Int, org.apache.spark.sql.DataFrame, FrontierStore) = {
+    val store = Files.createTempDirectory("graftstore").toString
+    val finalWave = CrawlJob.run(spark, crawlCfg(store))
+    val fs = new FrontierStore(store)
+    (finalWave, fs.readState(spark, finalWave).cache(), fs)
+  }
+
+  test("fetch order matches RefSpec exactly") {
+    val (_, state, _) = sparkRun
+    val got = state.filter($"status" === Status.Fetched)
+      .select($"fetchWave", $"hostRank", $"scheduledRank", $"ckey")
+      .collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getString(3)))
+      .sortBy(t => (t._1, t._2, t._3))
+    val want = refResult.fetchOrder
+    assert(got.length === want.length)
+    got.zip(want).zipWithIndex.foreach { case ((g, w), i) =>
+      withClue(s"position $i") { assert(g === w) }
+    }
+  }
+
+  test("final seen-set, statuses, attempts, webnews bits match RefSpec") {
+    val (_, state, _) = sparkRun
+    val got = state.select($"ckey", $"status", $"attempts", $"isWebnews")
+      .collect()
+      .map(r => r.getString(0) -> ((r.getInt(1), r.getInt(2), r.getBoolean(3))))
+      .toMap
+    val want = refResult.state.map { case (ck, r) =>
+      ck -> ((r.status, r.attempts, r.isWebnews))
+    }
+    assert(got.keySet === want.keySet)
+    got.foreach { case (ck, g) => withClue(ck) { assert(g === want(ck)) } }
+  }
+
+  test("crawl touches every reachable page; robots keeps /private/ unfetched") {
+    val (_, state, _) = sparkRun
+    assert(state.filter($"status" === Status.Fetched).count() > 100)
+    assert(state.filter($"ckey".contains("/private/") &&
+      $"status" =!= Status.Disallowed).count() === 0)
+    // dangling ghost links end up Failed after exactly maxAttempts
+    val failed = state.filter($"status" === Status.Failed)
+    assert(failed.count() > 0)
+    assert(failed.filter($"attempts" =!= 2).count() === 0)
+  }
+
+  test("extracted text is byte-identical to the table's text column") {
+    val (finalWave, _, fs) = sparkRun
+    val articles = fs.readArticles(spark, finalWave).get
+    val truth = spark.read.parquet(pagesPath).select($"url", $"text".as("expected"))
+    val joined = articles.join(truth, Seq("url"), "inner")
+    assert(joined.count() === articles.count())
+    assert(joined.filter($"text" =!= $"expected").count() === 0)
+  }
+
+  test("kill-and-resume: stop after 2 waves, resume, final state identical") {
+    val store2 = Files.createTempDirectory("graftstore2").toString
+    val cfg2 = crawlCfg(store2)
+    CrawlJob.run(spark, cfg2, stopAfterWaves = 2)
+    assert(new FrontierStore(store2).latestWave().get === 2)
+    val finalWave2 = CrawlJob.run(spark, cfg2) // resume
+    val (finalWave, state, _) = sparkRun
+    assert(finalWave2 === finalWave)
+    val a = state.orderBy($"ckey")
+      .select($"ckey", $"status", $"attempts", $"fetchWave", $"scheduledRank")
+      .collect().toSeq
+    val b = new FrontierStore(store2).readState(spark, finalWave2)
+      .orderBy($"ckey")
+      .select($"ckey", $"status", $"attempts", $"fetchWave", $"scheduledRank")
+      .collect().toSeq
+    assert(a === b)
+  }
+
+  test("WebGen is deterministic and robots rules parse") {
+    val r1 = WebGen.rowAt(webCfg, 17L)
+    val r2 = WebGen.rowAt(webCfg, 17L)
+    assert(r1._1 === r2._1 && r1._4 === r2._4)
+    assert(java.util.Arrays.equals(r1._3, r2._3))
+    assert(Robots.parse(WebGen.RobotsBody) === Seq("/private/"))
+    assert(Robots.isDisallowed(Map("h.com" -> Seq("/private/")), "h.com",
+      "https://www.h.com/private/doc-5.html"))
+  }
+}
