@@ -38,7 +38,11 @@ object CrawlJob {
       hostBudget: Int = 6,
       maxAttempts: Int = 2,
       maxWaves: Int = 10000,
-      bloomFpp: Double = 0.03)
+      bloomFpp: Double = 0.03,
+      /** bench mode: skip per-wave metric actions + lineage manifests —
+        * only the data path runs (same results, fewer driver round-trips)
+        */
+      lean: Boolean = false)
 
   /** scheme-stripped canonical key, in-plan (matches the reference's
     * UNIQUE key = url minus scheme, /root/reference/utils.py:334-340).
@@ -105,7 +109,7 @@ object CrawlJob {
       $"attempts" < cfg.maxAttempts)
     val waveSet = Scheduler.selectWave(eligible, cfg.hostBudget)
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val scheduled = waveSet.count()
+    val scheduled = if (cfg.lean) -1L else waveSet.count()
 
     // fetch: left join pages; ckey string equality guards hash collisions
     val joined = waveSet.join(
@@ -115,20 +119,36 @@ object CrawlJob {
     val hits = joined.filter($"html".isNotNull)
     val parsed = hits
       .select($"urlKey", $"ckey", $"url", $"host", $"hostRank",
-        $"scheduledRank", $"html")
-      .as[(Long, String, String, String, Int, Long, Array[Byte])]
+        $"scheduledRank", $"isWebnews", $"html")
+      .as[(Long, String, String, String, Int, Long, Boolean, Array[Byte])]
       .mapPartitions { it =>
-        it.map { case (k, ck, u, h, hr, rk, html) =>
-          val p = PageParse.parse(html, u)
-          FetchedPage(k, ck, u, h, hr, rk, p.title, p.text, p.links)
+        it.map { case (k, ck, u, h, hr, rk, wn, html) =>
+          val p = PageParse.parse(html, u, wn)
+          // ST5: canonical disagreement → redirect (crawler.py:102-106)
+          val redirectTo =
+            if (p.canonical != null && p.canonical.nonEmpty &&
+                !UrlOps.areEqualsUrls(p.canonical, u)) p.canonical else null
+          FetchedPage(k, ck, u, h, hr, rk, p.title, p.text, p.language,
+            p.publishDate, p.authors, p.videos, p.sections, p.topImage,
+            p.isWebnewsMeta, redirectTo, p.links)
         }
       }
       .persist(StorageLevel.MEMORY_AND_DISK)
 
-    val articles = parsed.select($"urlKey", $"url", $"host",
-      lit(wave).as("fetchWave"), $"title", $"text",
-      lit("it").as("lang"), lit(false).as("isWebnewsMeta"),
+    // articles: redirected pages publish their content under the
+    // canonical url (reference: current_url = canonical_url before
+    // _manage_extracted_data, crawler.py:105-111)
+    val articleCols = Seq(
+      $"title", $"text", $"language", $"publishDate", $"authors",
+      $"videos", $"sections", $"topImage", $"isWebnewsMeta",
       size($"links").as("nLinks"))
+    val articles = parsed.filter($"redirectTo".isNull)
+      .select(Seq($"urlKey", $"url", $"host", lit(wave).as("fetchWave")) ++ articleCols: _*)
+      .unionByName(parsed.filter($"redirectTo".isNotNull)
+        .withColumn("curl", $"redirectTo")
+        .withColumn("cckey", ckeyOf($"curl"))
+        .select(Seq(xxhash64($"cckey").as("urlKey"), $"curl".as("url"),
+          $"host", lit(wave).as("fetchWave")) ++ articleCols: _*))
 
     // frontier expansion: document-order link index, canonicalize, robots
     val rulesBc = spark.sparkContext.broadcast(rules)
@@ -156,19 +176,47 @@ object CrawlJob {
         lit(-1).as("fetchWave"), lit(-1L).as("scheduledRank"),
         lit(null).cast("string").as("urlToRefer"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val candCount = cand.count()
+    val candCount = if (cfg.lean) -1L else cand.count()
 
     val newRows = SeenSet.filterNew(cand, state, seenCountHint, cfg.bloomFpp)
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val newCount = newRows.count()
-    val disallowedCount = newRows.filter($"status" === Status.Disallowed).count()
+    val newCount = if (cfg.lean) -1L else newRows.count()
+    val disallowedCount = if (cfg.lean) -1L
+      else newRows.filter($"status" === Status.Disallowed).count()
+
+    // ST5: canonical targets enter the state as already-Fetched rows
+    // (reference: INSERT OR IGNORE + immediate scraped=1 update). Canon
+    // targets are never otherwise linked, but the anti-join keeps this
+    // exact under any input.
+    val attributed = SeenSet.filterNew(
+      parsed.filter($"redirectTo".isNotNull)
+        .select($"redirectTo".as("url"), $"host", $"hostRank",
+          $"scheduledRank".as("parentRank"))
+        .withColumn("ckey", ckeyOf($"url"))
+        .withColumn("urlKey", xxhash64($"ckey"))
+        .withColumn("isWebnews", GraftUdfs.isNews($"url"))
+        .withColumn("discWave", lit(wave))
+        .withColumn("linkIdx", lit(-1))
+        .withColumn("status", lit(Status.Fetched))
+        .withColumn("attempts", lit(0))
+        .withColumn("fetchWave", lit(wave))
+        .withColumn("scheduledRank", lit(-1L))
+        .withColumn("urlToRefer", lit(null).cast("string"))
+        .select(stateCols: _*)
+        .dropDuplicates("urlKey", "ckey"),
+      state, seenCountHint, cfg.bloomFpp)
 
     // state fold: apply wave outcomes, then append the new discoveries
-    val outcomes = joined.select($"urlKey", $"ckey",
-      $"scheduledRank".as("rk"), $"html".isNotNull.as("hit"))
+    val hitOut = parsed.select($"urlKey", $"ckey",
+      $"scheduledRank".as("rk"), lit(true).as("hit"), $"redirectTo")
+    val missOut = joined.filter($"html".isNull).select($"urlKey", $"ckey",
+      $"scheduledRank".as("rk"), lit(false).as("hit"),
+      lit(null).cast("string").as("redirectTo"))
+    val outcomes = hitOut.unionByName(missOut)
     val folded = state.join(outcomes, Seq("urlKey", "ckey"), "left")
       .withColumn("status2",
         when($"hit".isNull, $"status")
+          .when($"hit" && $"redirectTo".isNotNull, lit(Status.Redirected))
           .when($"hit", lit(Status.Fetched))
           .when($"attempts" + 1 >= cfg.maxAttempts, lit(Status.Failed))
           .otherwise(lit(Status.Pending)))
@@ -178,18 +226,25 @@ object CrawlJob {
         when($"hit".isNotNull && $"hit", lit(wave)).otherwise($"fetchWave"))
       .withColumn("scheduledRank2",
         when($"hit".isNotNull && $"hit", $"rk").otherwise($"scheduledRank"))
-      .drop("status", "attempts", "fetchWave", "scheduledRank", "hit", "rk")
+      .withColumn("urlToRefer2",
+        when($"hit".isNotNull && $"hit" && $"redirectTo".isNotNull, $"redirectTo")
+          .otherwise($"urlToRefer"))
+      .drop("status", "attempts", "fetchWave", "scheduledRank",
+        "urlToRefer", "hit", "rk", "redirectTo")
       .withColumnRenamed("status2", "status")
       .withColumnRenamed("attempts2", "attempts")
       .withColumnRenamed("fetchWave2", "fetchWave")
       .withColumnRenamed("scheduledRank2", "scheduledRank")
+      .withColumnRenamed("urlToRefer2", "urlToRefer")
       .select(stateCols: _*)
 
-    val nextState = folded.unionByName(newRows.select(stateCols: _*))
+    val nextState = folded
+      .unionByName(newRows.select(stateCols: _*))
+      .unionByName(attributed)
 
-    val fetchedCount = parsed.count()
-    val failedFinal = folded.filter($"status" === Status.Failed &&
-      $"attempts" >= cfg.maxAttempts).count()
+    val fetchedCount = if (cfg.lean) -1L else parsed.count()
+    val failedFinal = if (cfg.lean) -1L else folded.filter(
+      $"status" === Status.Failed && $"attempts" >= cfg.maxAttempts).count()
     val metrics = WaveMetrics(
       wave = wave,
       scheduled = scheduled,
@@ -227,7 +282,8 @@ object CrawlJob {
         state.filter($"status" === Status.Pending &&
           $"attempts" < cfg.maxAttempts).limit(1).count() > 0) {
       val (next, articles, m) = runWave(spark, state, pages, rules, wave, cfg, seenCount)
-      store.commitWave(spark, wave + 1, next, Some(articles), m)
+      store.commitWave(spark, wave + 1, next, Some(articles), m,
+        withLineage = !cfg.lean)
       spark.sharedState.cacheManager.clearCache()
       wave += 1
       wavesRun += 1

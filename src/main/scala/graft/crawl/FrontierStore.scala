@@ -31,13 +31,14 @@ class FrontierStore(val root: String) {
   def articlesPath(w: Int): String = s"${waveDir(w)}/articles"
 
   def commitWave(spark: SparkSession, wave: Int, state: DataFrame,
-                 articles: Option[DataFrame], metrics: WaveMetrics): Unit = {
+                 articles: Option[DataFrame], metrics: WaveMetrics,
+                 withLineage: Boolean = true): Unit = {
     state.write.mode(SaveMode.Overwrite).parquet(statePath(wave))
     articles.foreach(_.write.mode(SaveMode.Overwrite).parquet(articlesPath(wave)))
 
     // per-partition lineage: row count per urlKey shard of the committed
     // snapshot (re-read, so the manifest describes the bytes on disk)
-    val lineage = spark.read.parquet(statePath(wave))
+    val lineage = if (!withLineage) "{}" else spark.read.parquet(statePath(wave))
       .groupBy(pmod(col("urlKey"), lit(16)).as("shard"))
       .agg(count(lit(1)).as("rows"))
       .collect().map(r => s""""${r.getLong(0)}": ${r.getLong(1)}""")

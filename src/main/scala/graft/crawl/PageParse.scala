@@ -5,58 +5,36 @@ import java.nio.charset.StandardCharsets
 import java.util.regex.Pattern
 import scala.collection.mutable
 
-/** v1 page parsing: title / article text / link harvest over the synthetic
-  * page corpus. Deterministic and shared verbatim by the Spark engine and
-  * the sequential RefSpec oracle, so crawl-equivalence tests compare
-  * SCHEDULING, not parsing.
+/** Page parsing surface shared verbatim by the Spark engine and the
+  * sequential RefSpec oracle (so crawl-equivalence tests compare
+  * SCHEDULING, not parsing). Delegates to the full
+  * [[graft.extract.ArticleExtractor]] port: link harvest (F4/F5),
+  * boilerplate/gravity extraction (F6-F13), title/date/authors (F14-F18).
   *
-  * Link-harvest semantics mirror the reference extractor
-  * (/root/reference/extraction_tools/extractor.py:251-282): fix relative
-  * hrefs (F4), keep same-domain anchors (P6), clean (P1), navigability
-  * gate (P5), order-preserving dedup (dict-keys trick). The full
-  * boilerplate/gravity extraction port (F6-F21) replaces `title`/`text`
-  * in the extractor phase; link harvest stays as defined here.
+  * The `len(html) < 200` gate mirrors
+  * /root/reference/crawling_tools/crawler.py:132-136: short pages are
+  * still recorded as scraped but yield no extraction and no links.
   */
 object PageParse {
 
   case class Parsed(title: String, text: String, links: List[String],
-                    isWebnewsMeta: Boolean)
+                    isWebnewsMeta: Boolean, publishDate: String,
+                    authors: List[String], videos: List[String],
+                    sections: List[String], topImage: String,
+                    canonical: String, language: String)
 
-  private val titleRe = Pattern.compile("<title>(.*?)</title>", Pattern.DOTALL)
-  private val paraRe = Pattern.compile("<p>(.*?)</p>", Pattern.DOTALL)
-  private val hrefRe = Pattern.compile("href=\"([^\"]*)\"")
+  val Empty: Parsed = Parsed(null, "", Nil, isWebnewsMeta = false, null,
+    Nil, Nil, Nil, "", "", null)
 
-  /** extractor.py:251-262 — relative-href fixing. */
-  def fixHref(href: String, scheme: String, host: String): String =
-    if (href.startsWith("//")) scheme + ":" + href
-    else if (href.startsWith("/")) scheme + "://" + host + href
-    else href
-
-  def parse(htmlBytes: Array[Byte], url: String): Parsed = {
+  def parse(htmlBytes: Array[Byte], url: String,
+            isWebnews: Boolean): Parsed = {
     val html = new String(htmlBytes, StandardCharsets.UTF_8)
+    if (html.length < 200) return Empty // crawler.py:132
     val domain = UrlOps.getPrincipalDomain(url)
-    val scheme = Option(UrlOps.getScheme(url)).getOrElse("https")
-    val hostFull = graft.PyUrl.hostname(url)
-
-    val tm = titleRe.matcher(html)
-    val title = if (tm.find()) tm.group(1) else ""
-
-    val pm = paraRe.matcher(html)
-    val paras = mutable.ListBuffer.empty[String]
-    while (pm.find()) paras += pm.group(1)
-    val text = paras.mkString("\n\n")
-
-    val hm = hrefRe.matcher(html)
-    val seen = mutable.LinkedHashSet.empty[String] // order-preserving dedup
-    while (hm.find()) {
-      val fixed = fixHref(hm.group(1), scheme, hostFull)
-      if (domain != null && UrlOps.isDomainLink(fixed, domain)) {
-        val cleaned = UrlOps.cleanUrl(fixed)
-        if (cleaned != null && UrlOps.isValidUrlToNavigate(cleaned))
-          seen += cleaned
-      }
-    }
-    Parsed(title, text, seen.toList, isWebnewsMeta = false)
+    val e = graft.extract.ArticleExtractor.extractStr(html, url, domain, isWebnews)
+    Parsed(e.title, e.text, e.inLinks, e.isNewsMeta, e.publishDate,
+      e.authors, e.videos, e.sections, e.topImage, e.canonicalLink,
+      e.language)
   }
 }
 

@@ -18,7 +18,7 @@ object RefSpec {
   case class SpecRow(url: String, ckey: String, host: String, hostRank: Int,
       isWebnews: Boolean, discWave: Int, parentRank: Long, linkIdx: Int,
       var status: Int, var attempts: Int, var fetchWave: Int,
-      var scheduledRank: Long)
+      var scheduledRank: Long, var urlToRefer: String = null)
 
   case class SpecResult(
       fetchOrder: Vector[(Int, Int, Long, String)], // (wave, hostRank, rank, ckey)
@@ -68,11 +68,28 @@ object RefSpec {
         ordered.foreach { case (r, rk) =>
           pages.get(r.ckey) match {
             case Some((pageUrl, html)) =>
-              r.status = Status.Fetched
+              val parsed = PageParse.parse(html, pageUrl, r.isWebnews)
+              val redirectTo =
+                if (parsed.canonical != null && parsed.canonical.nonEmpty &&
+                    !UrlOps.areEqualsUrls(parsed.canonical, pageUrl))
+                  parsed.canonical
+                else null
               r.fetchWave = wave
               r.scheduledRank = rk
-              fetchOrder += ((wave, r.hostRank, rk, r.ckey))
-              val parsed = PageParse.parse(html, pageUrl)
+              if (redirectTo == null) {
+                r.status = Status.Fetched
+                fetchOrder += ((wave, r.hostRank, rk, r.ckey))
+              } else {
+                // ST5: original marked redirected; canonical target enters
+                // the state as already-Fetched (content attributed there)
+                r.status = Status.Redirected
+                r.urlToRefer = redirectTo
+                val ck = ckeyOf(redirectTo)
+                if (!state.contains(ck) && !candidates.contains(ck))
+                  candidates(ck) = SpecRow(redirectTo, ck, r.host, r.hostRank,
+                    NewsUrl.isNewsUrl(redirectTo), wave, rk, -1,
+                    Status.Fetched, 0, wave, -1L)
+              }
               parsed.links.zipWithIndex.foreach { case (link, li) =>
                 val ck = ckeyOf(link)
                 if (!state.contains(ck) && !candidates.contains(ck)) {

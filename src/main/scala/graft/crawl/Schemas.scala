@@ -58,11 +58,16 @@ case class ArticleRow(
     nLinks: Int)
 
 /** A fetched + parsed page in flight during a wave (public top-level so
-  * Catalyst codegen can construct it).
+  * Catalyst codegen can construct it). `redirectTo` carries the
+  * canonical-redirect target when rel=canonical disagrees with the url
+  * (ST5, /root/reference/crawling_tools/crawler.py:102-106).
   */
 case class FetchedPage(urlKey: Long, ckey: String, url: String,
     host: String, hostRank: Int, scheduledRank: Long, title: String,
-    text: String, links: Seq[String])
+    text: String, language: String, publishDate: String,
+    authors: Seq[String], videos: Seq[String], sections: Seq[String],
+    topImage: String, isWebnewsMeta: Boolean, redirectTo: String,
+    links: Seq[String])
 
 /** Per-wave metrics, written into the snapshot manifest (the Spark-native
   * replacement of the reference's curses dashboard counters,

@@ -1,0 +1,269 @@
+package graft
+package extract
+
+import scala.collection.mutable
+
+/** The full extraction pipeline: port of ContentExtractor
+  * (/root/reference/extraction_tools/extractor.py:49-110) orchestrating
+  * Article.parse (/root/reference/newspaperlite/article.py:115-170).
+  *
+  * Observable pipeline (after accounting for the reference's no-op
+  * removals, see [[Explorer.remove]]):
+  *   1. whitespace-collapse raw html (F1)            extractor.py:242-243
+  *   2. parse (comments removed)                     extractor.py:46,62
+  *   3. language from <html lang>/meta (F2)          extractor.py:379-386
+  *   4. webnews from schema.org/og meta (F3)         extractor.py:388-395
+  *   5. fix relative hrefs (F4)                      extractor.py:251-262
+  *   6. harvest same-domain links (F5)               extractor.py:264-282
+  *   7. drop text-format tags; pop script/noscript/
+  *      style (real removals w/ tail merge) (F6)     extractor.py:245-248,160-174
+  *   8. [fidelity] NavHunter analysis on a copy (F8) — result discarded,
+  *      exactly like the reference's no-op apply     extractor.py:103-107
+  *   9. Article.parse: title/authors/meta/date, gravity best-node,
+  *      formatter → byte-identical text (F10-F21)
+  *
+  * Divergences (documented, reference-offline-equivalent):
+  *   - langdetect-on-title is a no-op stub (fires only when <html lang>
+  *     and lang metas are all absent);
+  *   - top image comes from the meta cascade only — the first-img/Reddit
+  *     fallbacks require network fetches that fail offline in the
+  *     reference too (images.py:221-225);
+  *   - _checking_ids_tree's random bookkeeping ids are skipped (they
+  *     never reach any output or selector).
+  */
+object ArticleExtractor {
+
+  case class Extracted(
+      title: String,
+      text: String,
+      language: String,
+      publishDate: String,
+      authors: List[String],
+      videos: List[String],
+      sections: List[String],
+      topImage: String,
+      canonicalLink: String,
+      isNewsMeta: Boolean,
+      inLinks: List[String])
+
+  private val TextFormatTags = Seq("b", "strong", "i", "em", "mark",
+    "small", "del", "ins", "sub", "sup") // extractor.py:26
+
+  /** extractor.py:49-71 + 73-90. `isWebnews` is the frontier priority bit
+    * the crawler passes through (crawler.py:129-143).
+    */
+  def extract(htmlBytes: Array[Byte], url0: String, domain: String,
+              isWebnews: Boolean, analyzeNav: Boolean = false): Extracted = {
+    val raw = new String(htmlBytes, java.nio.charset.StandardCharsets.UTF_8)
+    extractStr(raw, url0, domain, isWebnews, analyzeNav)
+  }
+
+  def extractStr(rawHtml: String, url0: String, domain: String,
+                 isWebnews: Boolean, analyzeNav: Boolean = false): Extracted = {
+    // prepare_html_tree: url trailing-/ and filetype strip
+    var url = if (url0.endsWith("/")) url0.dropRight(1) else url0
+    val filetype = UrlOps.getFiletypeFromUrl(url)
+    if (filetype != null) url = url.substring(0, url.length - (filetype.length + 1))
+    val scheme = UrlOps.getScheme(url)
+
+    // F1: whitespace collapse
+    val htmlSource = rawHtml.split("\\s+").filter(_.nonEmpty).mkString(" ")
+    val tree = Dom.parse(htmlSource)
+    val body = Explorer.getElementsByTags(tree, Seq("body")).head
+
+    // F2 (extractor.py:379-386)
+    var language: String = {
+      val htmlTag = if (tree.tag == "html") tree
+        else tree.iter.find(_.tag == "html").orNull
+      var r = if (htmlTag != null) Explorer.getAttribute(htmlTag, "lang") else null
+      if (r == null) {
+        val metas = tree.iter.filter(d => d.tag == "meta" &&
+          (d.attrs.get("http-equiv").contains("content-language") ||
+           d.attrs.get("name").contains("language"))).toList
+        if (metas.nonEmpty) r = Explorer.getAttribute(metas.head, "content")
+      }
+      r
+    }
+
+    // F3 (extractor.py:388-395)
+    val isNewsMeta = tree.iter.exists(d =>
+      d.attrs.get("itemtype").contains("http://schema.org/NewsArticle") ||
+      d.attrs.get("itemtype").contains("http://schema.org/Article") ||
+      (d.tag == "meta" && d.attrs.get("property").contains("og:type") &&
+        d.attrs.get("content").contains("article")))
+
+    // F4 (extractor.py:251-262): body-scope; domain = scheme://hostname
+    val hostWww = PyUrl.hostname(url)
+    for (e <- body.iter.toList) {
+      val href = e.attrs.getOrElse("href", null)
+      if (href != null && href.startsWith("/")) {
+        if (href.startsWith("//")) e.attrs("href") = scheme + ":" + href
+        else e.attrs("href") = scheme + "://" + hostWww + href
+      }
+    }
+
+    // F5 (extractor.py:268-282): ordered dedup of clean navigable links
+    val inLinks: List[String] = {
+      val seen = mutable.LinkedHashSet.empty[String]
+      for (a <- body.iter if a.tag == "a") {
+        val href = a.attrs.getOrElse("href", null)
+        if (href != null && domain != null && href.contains(domain)) {
+          val cleaned = UrlOps.cleanUrl(href, removeArguments = false,
+            domain = domain, scheme = scheme)
+          if (UrlOps.isValidUrlToNavigate(cleaned) &&
+              UrlOps.isDomainLink(cleaned, domain))
+            seen += cleaned
+        }
+      }
+      seen.toList
+    }
+
+    // language normalize (extract_content, extractor.py:75-76)
+    if (language != null && language.length >= 2)
+      language = language.substring(0, 2).toLowerCase
+
+    val runArticle = isWebnews || isNewsMeta || NewsUrl.isNewsUrl(url)
+    if (!runArticle)
+      return Extracted(null, "", language, null, Nil, Nil, Nil, "", "",
+        isNewsMeta, inLinks)
+
+    // ---- _last_clean (extractor.py:92-111) ----
+    for (e <- Explorer.getElementsByTags(body, TextFormatTags)) e.dropTag()
+    for (e <- tree.iter.filter(d => d.tag == "script" || d.tag == "noscript").toList)
+      Explorer.remove(e, removeTail = true)
+    for (e <- tree.iter.filter(_.tag == "style").toList)
+      Explorer.remove(e, removeTail = true)
+    if (analyzeNav) {
+      // faithful: candidates computed on a deepcopy, apply is a no-op
+      NavHunter.findCandidates(tree.deepCopy)
+    }
+
+    // ---- Article.parse (article.py:115-170) ----
+    var extractorLang = "it" // ContentExtractor default (extractors.py:58)
+    var metaLang: String = null
+    if (language != null && language.length >= 2)
+      metaLang = language.substring(0, 2).toLowerCase
+    // update_language(meta_lang) iff the stopword file exists
+    if (metaLang != null && StopWords.available(metaLang)) extractorLang = metaLang
+    val stop = new StopWords(extractorLang)
+
+    val cleanTree = tree.deepCopy
+
+    var title = Extractors.getTitle(cleanTree)
+    val authors = Extractors.getAuthors(cleanTree)
+    val canonical = Extractors.getCanonicalLink(url, cleanTree)
+    val publishDate = Extractors.getPublishingDate(url, cleanTree, extractorLang)
+
+    val topNode = Extractors.calculateBestNode(stop, tree)
+    var text = ""
+    var videos: List[String] = Nil
+    if (topNode != null) {
+      videos = Videos.getVideos(topNode, url)
+      val cleaned = Extractors.postCleanup(stop, topNode)
+      val cleanTopNode = cleaned.deepCopy
+      text = OutputFormatter.getFormatted(cleanTopNode)
+    }
+
+    val metaImg = metaImgUrl(url, cleanTree)
+    val sections = Extractors.getSections(cleanTree)
+
+    Extracted(
+      title = if (title != null && title.nonEmpty) title else null,
+      text = text,
+      language = metaLang,
+      publishDate = publishDate,
+      authors = authors,
+      videos = videos,
+      sections = sections,
+      topImage = metaImg,
+      canonicalLink = canonical,
+      isNewsMeta = isNewsMeta,
+      inLinks = inLinks)
+  }
+
+  /** extractors.py:441-464 meta cascade + urljoin(article_url, img). */
+  private def metaImgUrl(articleUrl: String, doc: Dom): String = {
+    var img = Extractors.getMetaContent(doc, "meta[property=\"og:image\"]")
+    if (img.isEmpty) {
+      val linkImg = Explorer.getElementsByTagName(doc, tag = "link",
+        attr = "rel", value = "img_src|image_src", useRegex = true)
+      if (linkImg.nonEmpty) img = Option(linkImg.head.attrs.getOrElse("href", null)).getOrElse("")
+      if (img.isEmpty) {
+        img = Extractors.getMetaContent(doc, "meta[name=\"og:image\"]")
+        if (img.isEmpty) {
+          val icons = Explorer.getElementsByTagName(doc, tag = "link",
+            attr = "rel", value = "icon")
+          if (icons.nonEmpty) img = Option(icons.head.attrs.getOrElse("href", null)).getOrElse("")
+        }
+      }
+    }
+    if (img.nonEmpty) urljoin(articleUrl, img) else ""
+  }
+
+  /** urllib.parse.urljoin subset: absolute stays; //x gets scheme; /x is
+    * host-rooted; relative resolves against the url's directory.
+    */
+  def urljoin(base: String, url: String): String = {
+    if (url.matches("^[a-zA-Z][a-zA-Z0-9+.-]*:.*")) return url
+    val scheme = UrlOps.getScheme(base)
+    if (url.startsWith("//")) return scheme + ":" + url
+    val host = PyUrl.hostname(base)
+    if (url.startsWith("/")) return s"$scheme://$host$url"
+    val path = PyUrl.urlparse(base).path
+    val dir = if (path.contains('/')) path.substring(0, path.lastIndexOf('/') + 1) else "/"
+    s"$scheme://$host$dir$url"
+  }
+}
+
+/** Port of VideoExtractor (/root/reference/newspaperlite/videos/
+  * extractors.py:9-133) — provider allow-list over iframe/embed/object/
+  * video candidates under the top node.
+  */
+object Videos {
+  private val Providers = Seq("youtube", "vimeo", "dailymotion", "kewego", "facebook")
+
+  def getVideos(topNode: Dom, url: String): List[String] = {
+    val domainUrl = if (url != null) UrlOps.getPrincipalDomain(url) else null
+    def provider(src: String): String = {
+      if (src != null && domainUrl != null && src.contains(domainUrl)) return domainUrl
+      if (src != null) Providers.find(src.contains).orNull else null
+    }
+    // document order; get_object_tag removes a child embed from the
+    // candidate list so it isn't parsed twice (videos/extractors.py:80-85)
+    val candidates = mutable.ListBuffer.empty[Dom]
+    candidates ++= Explorer.getElementsByTags(topNode, Seq("iframe", "embed", "object", "video"))
+    val skipped = mutable.Set.empty[Dom]
+    val movies = mutable.ListBuffer.empty[String]
+    for (c <- candidates.toList if !skipped.exists(_ eq c)) {
+      c.tag match {
+        case "iframe" =>
+          val src = Explorer.getAttribute(c, "src")
+          if (provider(src) != null && src != null) movies += src
+        case "embed" =>
+          val parent = c.parent
+          if (parent != null && parent.tag == "object")
+            objectTag(parent, skipped, provider).foreach(movies += _)
+          else {
+            val src = Explorer.getAttribute(c, "src")
+            if (provider(src) != null && src != null) movies += src
+          }
+        case "object" =>
+          objectTag(c, skipped, provider).foreach(movies += _)
+        case _ => () // 'video' tag: reference returns an empty Video (no src)
+      }
+    }
+    movies.toList
+  }
+
+  private def objectTag(node: Dom, skipped: mutable.Set[Dom],
+                        provider: String => String): Option[String] = {
+    val childEmbeds = Explorer.getElementsByTagName(node, tag = "embed")
+    if (childEmbeds.nonEmpty) skipped += childEmbeds.head
+    val srcNode = Explorer.getElementsByTagName(node, tag = "param",
+      attr = "name", value = "movie")
+    if (srcNode.isEmpty) return None
+    val src = Explorer.getAttribute(srcNode.head, "value")
+    if (provider(src) == null) return None
+    Option(src)
+  }
+}

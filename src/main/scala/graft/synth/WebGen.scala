@@ -62,10 +62,16 @@ object WebGen {
 
   def urlOf(h: Int, p: Long): String = base(h) + pathOf(h, p)
 
-  /** Deterministic pseudo-words for page bodies. */
+  /** Deterministic pseudo-words for page bodies. The skeleton interleaves
+    * Italian function words (stopwords-it) so every paragraph has a
+    * guaranteed stopword count > 5 — the gravity scorer's gate
+    * (extractors.py:788,869) must engage deterministically.
+    */
   private val words = Array("governo", "mercato", "squadra", "citta", "voto",
     "banca", "tempo", "scuola", "strada", "teatro", "giorno", "parola",
     "lavoro", "storia", "regione", "popolo")
+  private val skeleton = Array("il", "della", "che", "una", "non", "sono",
+    "per", "con", "anche", "come", "alla", "dei")
 
   private def mix(h: Int, p: Long, k: Int): Int = {
     var z = (h.toLong << 40) ^ (p * 0x9E3779B97F4A7C15L) ^ (k * 0xC2B2AE3D27D4EB4FL)
@@ -77,20 +83,34 @@ object WebGen {
   def titleOf(h: Int, p: Long): String = s"Articolo $p — host$h"
 
   private def sentence(h: Int, p: Long, k: Int, n: Int): String =
-    (0 until n).map(j => words(mix(h, p, k * 97 + j) % words.length)).mkString(" ")
+    (0 until n).map { j =>
+      val w = words(mix(h, p, k * 97 + j) % words.length)
+      if (j % 2 == 1) skeleton(mix(h, p, k * 389 + j) % skeleton.length) else w
+    }.mkString(" ")
 
-  /** Out-link page numbers of page p within host h (intra-host, closed). */
+  /** Out-link page numbers of page p within host h (intra-host, closed).
+    * Fan-out ≈ 6-12 so the frontier ramps to data-bound waves quickly.
+    */
   def linkTargets(h: Int, p: Long, nh: Long): Seq[Long] = {
     if (p == 0L) {
       // hub: fan out to the first pages of the host
       (1L until math.min(13L, nh)).toSeq
     } else (p % 5).toInt match {
-      case 1 | 2 => Seq((2 * p + 1) % nh, (3 * p + 2) % nh)
-      case 3     => Seq((p + 1) % nh, (2 * p + 1) % nh, (7 * p + 3) % nh)
-      case 4     => Seq((p + 2) % nh)
+      case 1 | 2 => Seq(2 * p + 1, 3 * p + 2, 5 * p + 7, 7 * p + 11,
+        11 * p + 13, 13 * p + 17).map(_ % nh)
+      case 3     => Seq(p + 1, 2 * p + 1, 7 * p + 3, 3 * p + 5, 5 * p + 11,
+        9 * p + 2, 17 * p + 5, 19 * p + 7).map(_ % nh)
+      case 4     => Seq((p + 2) % nh, (23 * p + 3) % nh)
       case _     => Seq.empty
     }
   }
+
+  /** canonical-redirect pages (ST5): sparse subset of news template 2 —
+    * their rel=canonical points at a synthetic alternate URL that exists
+    * nowhere else (never linked, not in the table).
+    */
+  def hasCanonical(p: Long): Boolean = p % 5 == 2 && p % 15 == 7
+  def canonicalUrlOf(h: Int, p: Long): String = base(h) + s"/canon/alt-$p.html"
 
   /** Full page HTML — the link layout exercises every frontier filter:
     * relative + absolute hrefs, a tracking-query dup, a cross-host link,
@@ -102,7 +122,10 @@ object WebGen {
     val targets = linkTargets(h, p, nh)
     val sb = new StringBuilder(512)
     sb.append("<html lang=\"it\"><head><title>").append(titleOf(h, p))
-      .append("</title></head><body>")
+      .append("</title>")
+    if (hasCanonical(p))
+      sb.append("<link rel=\"canonical\" href=\"").append(canonicalUrlOf(h, p)).append("\"/>")
+    sb.append("</head><body>")
     sb.append("<nav><a href=\"/index.html\">home</a></nav>")
     sb.append("<article><p>").append(sentence(h, p, 1, 14)).append("</p><p>")
       .append(sentence(h, p, 2, 11)).append("</p></article>")
@@ -124,12 +147,19 @@ object WebGen {
     sb.toString
   }
 
-  /** Reference-semantics extracted text of the page (v1: article paragraph
-    * join — upgraded in lockstep with the extractor port; the invariant
-    * `extract(html) == text` byte-identical is what tests assert).
+  /** Reference-semantics extracted text of the page, hand-derived from
+    * the ported pipeline (the `extract(html).text == text` byte-identity
+    * is asserted by CrawlSpec/ExtractSpec):
+    *  - news templates (p%5 ∈ {1,2}): gravity scoring elects the
+    *    <article> node; the formatter joins its two <p> children with a
+    *    single space (outputformatters.py:58-71);
+    *  - all other templates fail the is-news gate
+    *    (extractor.py:78) → empty text.
     */
   def textOf(h: Int, p: Long): String =
-    sentence(h, p, 1, 14) + "\n\n" + sentence(h, p, 2, 11)
+    if (p % 5 == 1 || p % 5 == 2)
+      sentence(h, p, 1, 14) + " " + sentence(h, p, 2, 11)
+    else ""
 
   val RobotsBody = "User-agent: *\nDisallow: /private/\n"
 

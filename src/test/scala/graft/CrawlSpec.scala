@@ -54,7 +54,7 @@ class CrawlSpec extends AnyFunSuite {
 
   test("fetch order matches RefSpec exactly") {
     val (_, state, _) = sparkRun
-    val got = state.filter($"status" === Status.Fetched)
+    val got = state.filter($"status" === Status.Fetched && $"scheduledRank" > 0)
       .select($"fetchWave", $"hostRank", $"scheduledRank", $"ckey")
       .collect()
       .map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getString(3)))
@@ -94,9 +94,34 @@ class CrawlSpec extends AnyFunSuite {
     val (finalWave, _, fs) = sparkRun
     val articles = fs.readArticles(spark, finalWave).get
     val truth = spark.read.parquet(pagesPath).select($"url", $"text".as("expected"))
-    val joined = articles.join(truth, Seq("url"), "inner")
-    assert(joined.count() === articles.count())
+    val normal = articles.filter(!$"url".contains("/canon/"))
+    val joined = normal.join(truth, Seq("url"), "inner")
+    assert(joined.count() === normal.count())
     assert(joined.filter($"text" =!= $"expected").count() === 0)
+    // canonical-attributed articles carry the redirecting page's content
+    val canon = articles.filter($"url".contains("/canon/")).collect()
+    canon.foreach { r =>
+      val url = r.getAs[String]("url")
+      val m = "https://www\\.host(\\d+)\\.example\\.com/canon/alt-(\\d+)\\.html".r
+        .findFirstMatchIn(url).get
+      val (h, p) = (m.group(1).toInt, m.group(2).toLong)
+      assert(r.getAs[String]("text") === WebGen.textOf(h, p), url)
+    }
+  }
+
+  test("canonical redirects: originals Redirected with urlToRefer, targets attributed") {
+    val (_, state, _) = sparkRun
+    val redirected = state.filter($"status" === Status.Redirected).collect()
+    assert(redirected.nonEmpty)
+    redirected.foreach { r =>
+      assert(r.getAs[String]("urlToRefer").contains("/canon/"))
+    }
+    val attributed = state.filter($"ckey".contains("/canon/")).collect()
+    assert(attributed.length === redirected.length)
+    attributed.foreach { r =>
+      assert(r.getAs[Int]("status") === Status.Fetched)
+      assert(r.getAs[Long]("scheduledRank") === -1L)
+    }
   }
 
   test("kill-and-resume: stop after 2 waves, resume, final state identical") {
