@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
 import graft.functions.{GraftFunctions, TextOps}
-import graft.operators.{Dedup, Similarity}
+import graft.operators.{Dedup, Multimodal, Similarity}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -212,6 +212,49 @@ object SparkEntry {
       Similarity.lshTopK(t(s, dir, "embeddings"), "vec_id", "embedding",
         $"vec_id" < 50, k = 5, dim = 64, bits = 8)
         .select($"qid", $"nid", $"rank")),
+
+    // Multimodal: typed metadata over binary payloads (stubbed decode,
+    // real mapPartitions plumbing — operators/Multimodal.scala)
+    "q22_media_meta" -> ((s, dir) => {
+      val enc = udf((id: Long) => Multimodal.encodeFakeImage(
+        8 + (id % 8).toInt, 8 + (id % 5).toInt, id))
+      val resize = udf((b: Array[Byte]) => Multimodal.resizeStub(b, 2))
+      val payloads = t(s, dir, "documents")
+        .select($"doc_id", enc($"doc_id").as("payload"))
+      import s.implicits._
+      Multimodal.features(payloads, "doc_id", "payload").toDF()
+        .join(payloads.select($"doc_id".as("id"),
+          octet_length(resize($"payload")).cast("long").as("resized_bytes")), Seq("id"))
+        .select($"id", $"format", $"width", $"height",
+          $"nFrames".cast("long").as("n_frames"), $"nBytes".as("n_bytes"),
+          $"resized_bytes")
+    }),
+
+    // Multimodal: byte-level feature extraction (rows-only; double entropy)
+    "q23_media_entropy" -> ((s, dir) => {
+      val enc = udf((id: Long) => Multimodal.encodeFakeImage(
+        8 + (id % 8).toInt, 8 + (id % 5).toInt, id))
+      val payloads = t(s, dir, "documents")
+        .select($"doc_id", enc($"doc_id").as("payload"))
+      Multimodal.features(payloads, "doc_id", "payload").toDF()
+        .select($"id", $"entropy")
+    }),
+
+    // Article extraction as a queryable operator over a deterministic
+    // synthetic web (rows-only; byte-identity is covered by sbt test)
+    "q24_article_extract" -> ((s, dir) => {
+      import s.implicits._
+      val cfg = graft.synth.WebGen.Config(nPages = 2000, nHosts = 4)
+      s.range(cfg.nPages).mapPartitions { it =>
+        it.map { i =>
+          val (url, _, html, _, _) = graft.synth.WebGen.rowAt(cfg, i)
+          val e = graft.extract.ArticleExtractor.extract(html, url,
+            UrlOps.getPrincipalDomain(url), NewsUrl.isNewsUrl(url))
+          (url, e.title, if (e.text == null) 0 else e.text.length,
+            e.publishDate)
+        }
+      }.toDF("url", "title", "n_text_chars", "publish_date")
+    }),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -367,5 +410,14 @@ object SparkEntry {
         |  CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS v_sum
         |FROM (SELECT CAST(floor(epoch(ts)) AS BIGINT) AS es, event_type, value FROM events)
         |GROUP BY 1, 2""".stripMargin,
+
+    "q22_media_meta" ->
+      """SELECT doc_id AS id, 'image' AS format,
+        |  CAST(8 + doc_id % 8 AS INTEGER) AS width,
+        |  CAST(8 + doc_id % 5 AS INTEGER) AS height,
+        |  CAST(1 AS BIGINT) AS n_frames,
+        |  CAST(12 + (8 + doc_id % 8) * (8 + doc_id % 5) AS BIGINT) AS n_bytes,
+        |  CAST(12 + ((8 + doc_id % 8) // 2) * ((8 + doc_id % 5) // 2) AS BIGINT) AS resized_bytes
+        |FROM documents""".stripMargin,
   )
 }

@@ -38,7 +38,18 @@ object CrawlJob {
       hostBudget: Int = 6,
       maxAttempts: Int = 2,
       maxWaves: Int = 10000,
+      /** ≤ 0 disables the Bloom prefilter (plain anti-join). */
       bloomFpp: Double = 0.03,
+      /** expected total distinct URLs (sizes the mergeable Bloom
+        * geometry); 0 → derived from the pages-table row count
+        */
+      expectedTotalUrls: Long = 0L,
+      /** cache the urlKey-pre-partitioned pages table across waves (the
+        * local stand-in for an Iceberg bucket-partitioned table +
+        * storage-partitioned join: one shuffle for the whole crawl, not
+        * one per wave)
+        */
+      cachePages: Boolean = true,
       /** bench mode: skip per-wave metric actions + lineage manifests —
         * only the data path runs (same results, fewer driver round-trips)
         */
@@ -99,22 +110,29 @@ object CrawlJob {
     "fetchWave", "scheduledRank", "urlToRefer")
   private def stateCols = stateColNames.map(col)
 
-  /** One wave. Returns (nextState, articles, metrics). */
+  /** One wave's outputs. `newKeys` = urlKeys added to the seen set this
+    * wave (for incremental Bloom maintenance); `cached` = persisted
+    * intermediates to release after the commit.
+    */
+  case class WaveResult(next: DataFrame, articles: DataFrame,
+      metrics: WaveMetrics, newKeys: DataFrame,
+      cached: Seq[org.apache.spark.sql.Dataset[_]])
+
   def runWave(spark: SparkSession, state: DataFrame, pages: DataFrame,
               rules: Map[String, Seq[String]], wave: Int, cfg: Config,
-              seenCountHint: Long): (DataFrame, DataFrame, WaveMetrics) = {
+              bloom: Option[org.apache.spark.util.sketch.BloomFilter]): WaveResult = {
     import spark.implicits._
 
     val eligible = state.filter($"status" === Status.Pending &&
       $"attempts" < cfg.maxAttempts)
     val waveSet = Scheduler.selectWave(eligible, cfg.hostBudget)
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .persist(StorageLevel.DISK_ONLY)
     val scheduled = if (cfg.lean) -1L else waveSet.count()
 
     // fetch: left join pages; ckey string equality guards hash collisions
     val joined = waveSet.join(
         pages.select($"urlKey", $"ckey", $"html"), Seq("urlKey", "ckey"), "left")
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .persist(StorageLevel.DISK_ONLY)
 
     val hits = joined.filter($"html".isNotNull)
     val parsed = hits
@@ -133,7 +151,7 @@ object CrawlJob {
             p.isWebnewsMeta, redirectTo, p.links)
         }
       }
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .persist(StorageLevel.DISK_ONLY)
 
     // articles: redirected pages publish their content under the
     // canonical url (reference: current_url = canonical_url before
@@ -159,7 +177,9 @@ object CrawlJob {
         posexplode($"links").as(Seq("linkIdx", "url")))
       .withColumn("ckey", ckeyOf($"url"))
       .withColumn("urlKey", xxhash64($"ckey"))
-      .withColumn("isWebnews", GraftUdfs.isNews($"url"))
+      // native Catalyst expression (whole-stage codegen) — this runs per
+      // discovered link, the highest-volume scalar in the engine
+      .withColumn("isWebnews", graft.functions.UrlExpressions.is_news_url($"url"))
       .withColumn("status", when(disallowedUdf($"host", $"url"),
         Status.Disallowed).otherwise(Status.Pending))
 
@@ -175,11 +195,11 @@ object CrawlJob {
         $"r.linkIdx", $"r.status", lit(0).as("attempts"),
         lit(-1).as("fetchWave"), lit(-1L).as("scheduledRank"),
         lit(null).cast("string").as("urlToRefer"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .persist(StorageLevel.DISK_ONLY)
     val candCount = if (cfg.lean) -1L else cand.count()
 
-    val newRows = SeenSet.filterNew(cand, state, seenCountHint, cfg.bloomFpp)
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val newRows = SeenSet.filterNew(cand, state, bloom)
+      .persist(StorageLevel.DISK_ONLY)
     val newCount = if (cfg.lean) -1L else newRows.count()
     val disallowedCount = if (cfg.lean) -1L
       else newRows.filter($"status" === Status.Disallowed).count()
@@ -188,7 +208,7 @@ object CrawlJob {
     // (reference: INSERT OR IGNORE + immediate scraped=1 update). Canon
     // targets are never otherwise linked, but the anti-join keeps this
     // exact under any input.
-    val attributed = SeenSet.filterNew(
+    val attributed0 = SeenSet.filterNew(
       parsed.filter($"redirectTo".isNotNull)
         .select($"redirectTo".as("url"), $"host", $"hostRank",
           $"scheduledRank".as("parentRank"))
@@ -204,7 +224,8 @@ object CrawlJob {
         .withColumn("urlToRefer", lit(null).cast("string"))
         .select(stateCols: _*)
         .dropDuplicates("urlKey", "ckey"),
-      state, seenCountHint, cfg.bloomFpp)
+      state, bloom)
+    val attributed = attributed0.persist(StorageLevel.DISK_ONLY)
 
     // state fold: apply wave outcomes, then append the new discoveries
     val hitOut = parsed.select($"urlKey", $"ckey",
@@ -256,7 +277,10 @@ object CrawlJob {
       disallowed = disallowedCount,
       pendingAfter = -1) // filled after commit from the snapshot
 
-    (nextState, articles.toDF(), metrics)
+    val newKeys = newRows.select($"urlKey")
+      .unionByName(attributed.select($"urlKey"))
+    WaveResult(nextState, articles.toDF(), metrics, newKeys,
+      Seq(waveSet, joined, parsed, cand, newRows, attributed))
   }
 
   /** Full crawl (or resume from the latest committed snapshot). Returns
@@ -265,7 +289,15 @@ object CrawlJob {
   def run(spark: SparkSession, cfg: Config,
           stopAfterWaves: Int = Int.MaxValue): Int = {
     val store = new FrontierStore(cfg.storeRoot)
-    val pages = keyedPages(spark, cfg)
+    val nShuffle = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    // one upfront shuffle of the pages table on the join key, reused by
+    // every wave's fetch join (Iceberg-bucketed-table stand-in)
+    val pages0 = keyedPages(spark, cfg)
+    val pages =
+      if (cfg.cachePages)
+        pages0.repartition(nShuffle, $"urlKey")
+          .persist(StorageLevel.MEMORY_AND_DISK)
+      else pages0
     val rules = robotsRules(spark, cfg)
 
     var wave = store.latestWave().getOrElse {
@@ -275,21 +307,39 @@ object CrawlJob {
       0
     }
     var state = store.readState(spark, wave)
-    var seenCount = state.count()
-    var wavesRun = 0
 
+    // seen-set Bloom: built once from the current state (resume-safe),
+    // then maintained incrementally with each wave's new keys
+    val expected =
+      if (cfg.expectedTotalUrls > 0) cfg.expectedTotalUrls
+      else math.max(pages0.count() * 2, 1000L)
+    var bloom: Option[org.apache.spark.util.sketch.BloomFilter] =
+      if (cfg.bloomFpp <= 0) None
+      else Some(SeenSet.buildBloom(state.select($"urlKey"), expected, cfg.bloomFpp))
+
+    var wavesRun = 0
     while (wavesRun < stopAfterWaves && wave < cfg.maxWaves &&
         state.filter($"status" === Status.Pending &&
           $"attempts" < cfg.maxAttempts).limit(1).count() > 0) {
-      val (next, articles, m) = runWave(spark, state, pages, rules, wave, cfg, seenCount)
-      store.commitWave(spark, wave + 1, next, Some(articles), m,
+      val t0 = System.nanoTime()
+      val r = runWave(spark, state, pages, rules, wave, cfg, bloom)
+      store.commitWave(spark, wave + 1, r.next, Some(r.articles), r.metrics,
         withLineage = !cfg.lean)
-      spark.sharedState.cacheManager.clearCache()
+      bloom.foreach { bf =>
+        // stat.bloomFilter NPEs on an empty input (SPARK sketch reads a
+        // null aggregate buffer) — a zero-new-key wave merges nothing
+        if (r.newKeys.limit(1).count() > 0)
+          bf.mergeInPlace(SeenSet.buildBloom(r.newKeys, expected, cfg.bloomFpp))
+      }
+      r.cached.foreach(_.unpersist(blocking = false))
+      System.err.println(f"[crawl] wave $wave committed in ${(System.nanoTime() - t0) / 1e9}%.2fs" +
+        (if (cfg.lean) ""
+         else s" (scheduled=${r.metrics.scheduled} fetched=${r.metrics.fetched} new=${r.metrics.newLinks})"))
       wave += 1
       wavesRun += 1
       state = store.readState(spark, wave)
-      seenCount = state.count()
     }
+    if (cfg.cachePages) pages.unpersist(blocking = false)
     wave
   }
 }

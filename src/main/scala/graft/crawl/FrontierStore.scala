@@ -69,6 +69,30 @@ class FrontierStore(val root: String) {
   def readState(spark: SparkSession, wave: Int): DataFrame =
     spark.read.parquet(statePath(wave))
 
+  /** Maintenance (entry point C, /root/reference/script1.py:11-19 VACUUM
+    * analogue): drop state snapshots older than the latest `keepLast`
+    * waves. Article outputs are an append log and are always kept; the
+    * `_LATEST` pointer is untouched, so resume semantics survive.
+    */
+  def expireSnapshots(keepLast: Int): Int = {
+    val latest = latestWave().getOrElse(return 0)
+    var removed = 0
+    for (w <- 0 to latest - keepLast) {
+      val p = Paths.get(statePath(w))
+      if (Files.exists(p)) {
+        deleteRecursively(p)
+        removed += 1
+      }
+    }
+    removed
+  }
+
+  private def deleteRecursively(p: Path): Unit = {
+    if (Files.isDirectory(p))
+      Files.list(p).forEach(c => deleteRecursively(c))
+    Files.deleteIfExists(p)
+  }
+
   /** All articles up to and including `wave` (append-log union). */
   def readArticles(spark: SparkSession, wave: Int): Option[DataFrame] = {
     val dirs = (0 to wave).map(articlesPath).filter(d => Files.exists(Paths.get(d)))

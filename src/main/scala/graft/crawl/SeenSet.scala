@@ -26,22 +26,36 @@ import org.apache.spark.sql.functions._
   */
 object SeenSet {
 
-  /** Candidates strictly newer than `seen`, exact. `bloomFpp <= 0` or
-    * small seen sets skip the prefilter (not worth the build scan).
+  import org.apache.spark.util.sketch.BloomFilter
+
+  /** Candidates strictly newer than `seen`, exact. `bloom` must be a
+    * SUPERSET of the seen keys (false positives fine — they just pay the
+    * anti-join; false negatives would break exactness, so callers only
+    * pass filters maintained over every committed key).
     */
   def filterNew(candidates: DataFrame, seen: DataFrame,
-                seenCountHint: Long, bloomFpp: Double = 0.03): DataFrame = {
+                bloom: Option[BloomFilter]): DataFrame = {
     val seenKeys = seen.select("urlKey")
-    if (bloomFpp <= 0 || seenCountHint < 10000) {
-      candidates.join(seenKeys, Seq("urlKey"), "left_anti")
-    } else {
-      val bf = seenKeys.stat.bloomFilter("urlKey", math.max(seenCountHint, 1L), bloomFpp)
-      val bc = candidates.sparkSession.sparkContext.broadcast(bf)
-      val mightContain = udf((k: Long) => bc.value.mightContainLong(k))
-      val definitelyNew = candidates.filter(!mightContain($"urlKey"))
-      val suspects = candidates.filter(mightContain($"urlKey"))
-        .join(seenKeys, Seq("urlKey"), "left_anti")
-      definitelyNew.unionByName(suspects)
+    bloom match {
+      case None =>
+        candidates.join(seenKeys, Seq("urlKey"), "left_anti")
+      case Some(bf) =>
+        val bc = candidates.sparkSession.sparkContext.broadcast(bf)
+        val mightContain = udf((k: Long) => bc.value.mightContainLong(k))
+        val definitelyNew = candidates.filter(!mightContain($"urlKey"))
+        val suspects = candidates.filter(mightContain($"urlKey"))
+          .join(seenKeys, Seq("urlKey"), "left_anti")
+        definitelyNew.unionByName(suspects)
     }
   }
+
+  /** Build a filter over a key DataFrame with a FIXED expected size so
+    * successive per-wave filters are mergeable (`mergeInPlace` requires
+    * identical geometry). Incremental maintenance makes the per-wave
+    * bloom cost O(new keys), not O(total seen) — the same trick a
+    * cluster run uses with per-partition persisted filters.
+    */
+  def buildBloom(keys: DataFrame, expectedItems: Long,
+                 fpp: Double): BloomFilter =
+    keys.stat.bloomFilter("urlKey", math.max(expectedItems, 1000L), fpp)
 }

@@ -215,6 +215,49 @@ object ArticleExtractor {
   }
 }
 
+/** RSS discovery (S8, /root/reference/extraction_tools/extractor.py:
+  * 114-158): feed link candidates from a parsed page — `<link
+  * type=application/rss+xml|atom+xml rel=alternate>` first, then .xml
+  * anchors, then rss/feed-path anchors. Network feed PARSING stays out of
+  * scope (feedparser is a network consumer); discovery is the relational
+  * part and feeds union into the frontier as a side source.
+  */
+object RssDiscovery {
+
+  /** extract_feed_rss (extractor.py:136-158) → (href, title) map order. */
+  def extractFeeds(tree: Dom, pageUrl: String): List[(String, String)] = {
+    val feeds = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    val links = tree.iter.filter(d => d.tag == "link" &&
+      d.attrs.get("rel").contains("alternate") &&
+      (d.attrs.get("type").contains("application/rss+xml") ||
+       d.attrs.get("type").contains("application/atom+xml"))).toList
+    for (t <- links) {
+      val href = Explorer.getAttribute(t, "href")
+      if (href != null) feeds(href) = Option(Explorer.getAttribute(t, "title")).getOrElse("")
+    }
+    if (feeds.isEmpty) {
+      for (a <- tree.iter if a.tag == "a") {
+        val href = a.attrs.getOrElse("href", null)
+        if (href != null && href.contains(".xml") &&
+            UrlOps.getFiletypeFromUrl(href) == "xml")
+          feeds(href) = ""
+      }
+    }
+    if (feeds.isEmpty) {
+      for (a <- tree.iter if a.tag == "a") {
+        val href = a.attrs.getOrElse("href", null)
+        if (href != null && (href.contains("rss") || href.contains("feed"))) {
+          if (!UrlOps.isValidUrl(href)) {
+            val finalUrl = s"$pageUrl/$href"
+            if (UrlOps.isValidUrl(finalUrl)) feeds(finalUrl) = ""
+          } else if (!UrlOps.areEqualsUrls(href, pageUrl)) feeds(href) = ""
+        }
+      }
+    }
+    feeds.toList
+  }
+}
+
 /** Port of VideoExtractor (/root/reference/newspaperlite/videos/
   * extractors.py:9-133) — provider allow-list over iframe/embed/object/
   * video candidates under the top node.

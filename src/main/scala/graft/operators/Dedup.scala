@@ -38,9 +38,13 @@ object Dedup {
     */
   def minHashSignatures(docs: DataFrame, idCol: String, textCol: String,
                         numHashes: Int = 16, shingleSize: Int = 3): DataFrame = {
-    val toks = TextOps.tokens(col(textCol))
-    val sh = explode(array_distinct(TextOps.shingles(toks, shingleSize))).as("shingle")
-    val base = docs.select(col(idCol).cast("long").as("doc_id"), sh)
+    // tokens materialized as a column FIRST: the shingle lambda's
+    // element_at must hit a bound array, not re-split the text per element
+    val base = docs
+      .select(col(idCol).cast("long").as("doc_id"),
+        TextOps.tokens(col(textCol)).as("toks"))
+      .select($"doc_id",
+        explode(array_distinct(TextOps.shingles($"toks", shingleSize))).as("shingle"))
     val mins = (0 until numHashes).map { i =>
       min(xxhash64($"shingle", lit(i))).as(s"m$i")
     }
@@ -73,8 +77,20 @@ object Dedup {
         col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-    val jac = jaccardOf(docs, idCol, textCol, shingleSize)
-    cand.join(jac, Seq("doc_a", "doc_b"), "inner")
+    // verify ONLY candidate pairs: per-pair shingle-set intersection via
+    // array ops — never the all-pairs shingle join (which at corpus scale
+    // is exactly the quadratic blowup LSH exists to avoid)
+    val shArr = docs
+      .select(col(idCol).cast("long").as("doc_id"),
+        TextOps.tokens(col(textCol)).as("toks"))
+      .select($"doc_id",
+        array_distinct(TextOps.shingles($"toks", shingleSize)).as("sh"))
+    cand
+      .join(shArr.select($"doc_id".as("doc_a"), $"sh".as("sh_a")), Seq("doc_a"))
+      .join(shArr.select($"doc_id".as("doc_b"), $"sh".as("sh_b")), Seq("doc_b"))
+      .withColumn("inter", size(array_intersect($"sh_a", $"sh_b")))
+      .withColumn("jaccard",
+        $"inter".cast("double") / (size($"sh_a") + size($"sh_b") - $"inter"))
       .filter($"jaccard" >= threshold)
       .select($"doc_a", $"doc_b", $"jaccard")
   }
@@ -84,9 +100,11 @@ object Dedup {
     */
   def jaccardOf(docs: DataFrame, idCol: String, textCol: String,
                 shingleSize: Int): DataFrame = {
-    val toks = TextOps.tokens(col(textCol))
-    val sh = docs.select(col(idCol).cast("long").as("doc_id"),
-        explode(array_distinct(TextOps.shingles(toks, shingleSize))).as("shingle"))
+    val sh = docs
+      .select(col(idCol).cast("long").as("doc_id"),
+        TextOps.tokens(col(textCol)).as("toks"))
+      .select($"doc_id",
+        explode(array_distinct(TextOps.shingles($"toks", shingleSize))).as("shingle"))
       .withColumn("sh", xxhash64($"shingle")).drop("shingle")
     val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("sz"))
     val inter = sh.as("a").join(sh.as("b"),
@@ -107,9 +125,11 @@ object Dedup {
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                         blockCol: String, shingleSize: Int,
                         threshold: Double): DataFrame = {
-    val toks = TextOps.tokens(col(textCol))
-    val sh = docs.select(col(idCol).cast("long").as("doc_id"), col(blockCol).as("blk"),
-      explode(array_distinct(TextOps.shingles(toks, shingleSize))).as("shingle"))
+    val sh = docs
+      .select(col(idCol).cast("long").as("doc_id"), col(blockCol).as("blk"),
+        TextOps.tokens(col(textCol)).as("toks"))
+      .select($"doc_id", $"blk",
+        explode(array_distinct(TextOps.shingles($"toks", shingleSize))).as("shingle"))
     val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("sz"))
     val inter = sh.as("a").join(sh.as("b"),
         col("a.blk") === col("b.blk") && col("a.shingle") === col("b.shingle") &&

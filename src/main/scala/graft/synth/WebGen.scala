@@ -22,14 +22,15 @@ import org.apache.spark.sql.functions._
   */
 object WebGen {
 
-  case class Config(nPages: Long, nHosts: Int) {
+  case class Config(nPages: Long, nHosts: Int, megaShare: Double = 0.5) {
     require(nHosts >= 2 && nPages >= nHosts * 4L)
-    /** host sizes: host0 = half, remainder split evenly (last host absorbs
-      * the remainder).
+    require(megaShare > 0 && megaShare < 1)
+    /** host sizes: host0 = megaShare of all pages (skew), remainder split
+      * evenly (last host absorbs the remainder).
       */
     val sizes: Array[Long] = {
       val s = new Array[Long](nHosts)
-      s(0) = nPages / 2
+      s(0) = (nPages * megaShare).toLong
       val rest = nPages - s(0)
       val each = rest / (nHosts - 1)
       var h = 1

@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.UrlExpressions
+
+/** Native Catalyst URL expressions: value-equal to the pure functions on
+  * the reference truth-table corpus, and codegen-resident (no UDF node
+  * in the optimized plan).
+  */
+class ExpressionSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[2]")
+    .config("spark.sql.shuffle.partitions", "2")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def fixtureUrls: Seq[String] = {
+    val src = scala.io.Source.fromFile(
+      "src/test/resources/fixtures/url_truth.tsv")(scala.io.Codec.ISO8859)
+    try src.getLines().drop(1).map(_.split("\t")(0)).toList
+    finally src.close()
+  }
+
+  test("expressions agree with the pure functions on the fixture corpus") {
+    import spark.implicits._
+    val urls = fixtureUrls
+    val df = urls.toDF("url").select(
+      $"url",
+      UrlExpressions.is_news_url($"url").as("news"),
+      UrlExpressions.is_navigable($"url").as("nav"),
+      UrlExpressions.canonical_key($"url").as("ck"))
+    df.collect().foreach { r =>
+      val u = r.getString(0)
+      assert(r.getBoolean(1) === NewsUrl.isNewsUrl(u), s"news($u)")
+      assert(r.getBoolean(2) === UrlOps.isValidUrlToNavigate(u), s"nav($u)")
+      assert(r.getString(3) === UrlOps.canonicalKey(u), s"ck($u)")
+    }
+    assert(urls.nonEmpty)
+  }
+
+  test("expressions stay inside whole-stage codegen (no UDF in plan)") {
+    import spark.implicits._
+    // non-foldable input so the optimizer can't constant-fold the plan
+    val df = spark.range(100)
+      .select(concat(lit("https://www.a.com/news/2024/01/02/x-"), $"id",
+        lit(".html")).as("url"))
+      .select(UrlExpressions.is_news_url($"url").as("n"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("UDF"), plan)
+    // '*(n)' is the compact WholeStageCodegen marker
+    assert(plan.contains("*(1) Project [isnewsurlexpr"), plan)
+    assert(df.collect().forall(_.getBoolean(0)))
+  }
+
+  test("null propagation") {
+    import spark.implicits._
+    val df = Seq[Option[String]](None, Some("https://www.a.com/x"))
+      .toDF("url").select(UrlExpressions.canonical_key($"url").as("ck"))
+    val rows = df.collect()
+    assert(rows(0).isNullAt(0) || rows(1).isNullAt(0) === false)
+  }
+}

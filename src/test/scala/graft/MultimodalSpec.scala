@@ -1,0 +1,54 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Multimodal
+
+/** Multimodal payload plumbing: header codec stub, entropy, resize,
+  * frame sampling — pure-function determinism checks.
+  */
+class MultimodalSpec extends AnyFunSuite {
+
+  test("fake image encode/decode round-trips the header") {
+    val img = Multimodal.encodeFakeImage(16, 9, seed = 42L)
+    val m = Multimodal.decodeMeta(img)
+    assert(m.format === "image")
+    assert(m.width === 16 && m.height === 9)
+    assert(m.nBytes === 12 + 16 * 9)
+    assert(m.nFrames === 1)
+  }
+
+  test("decode is total: garbage bytes -> unknown, null-safe") {
+    assert(Multimodal.decodeMeta(Array[Byte](1, 2, 3)).format === "unknown")
+    assert(Multimodal.decodeMeta(null).nBytes === 0L)
+    assert(Multimodal.decodeMeta("XXXXaaaabbbbcc".getBytes).format === "unknown")
+  }
+
+  test("entropy is deterministic and bounded [0,8]") {
+    val img = Multimodal.encodeFakeImage(32, 32, seed = 7L)
+    val e1 = Multimodal.byteEntropy(img)
+    assert(e1 === Multimodal.byteEntropy(img))
+    assert(e1 > 0.0 && e1 <= 8.0)
+    assert(Multimodal.byteEntropy(Array.fill[Byte](100)(5)) === 0.0)
+  }
+
+  test("resize stub halves dimensions and keeps the format") {
+    val img = Multimodal.encodeFakeImage(16, 10, seed = 1L)
+    val half = Multimodal.resizeStub(img, 2)
+    val m = Multimodal.decodeMeta(half)
+    assert(m.width === 8 && m.height === 5)
+    assert(half.length === 12 + 8 * 5)
+    // non-image payloads pass through untouched
+    val junk = Array[Byte](9, 9, 9)
+    assert(Multimodal.resizeStub(junk, 2) eq junk)
+  }
+
+  test("video frame sampling picks every k-th frame") {
+    val body = Array.tabulate[Byte](4 * 10)(i => (i / 4).toByte) // 10 frames of 2x2
+    val vid = Multimodal.VideoMagic ++
+      Array[Byte](0, 0, 0, 2, 0, 0, 0, 2) ++ body
+    val m = Multimodal.decodeMeta(vid)
+    assert(m.format === "video" && m.nFrames === 10)
+    assert(Multimodal.sampleFrames(vid, 3).toSeq === Seq[Byte](0, 3, 6, 9))
+  }
+}
