@@ -27,6 +27,13 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   // local[32] puts all executor work on the driver heap: size it for the
-  // box (128 GiB), not for a thin driver
+  // box (128 GiB), not for a thin driver. ZGC: G1 full-GC pauses on the
+  // large heap caused 20-120s per-wave variance at 32 threads.
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
+  // ParallelGC + large young gen: the parse path allocates ~GB/s of
+  // short-lived DOM garbage; generational young collections absorb it
+  // with no G1 full-GC variance (20-120s outliers) and no JDK17-ZGC
+  // (non-generational) allocation stalls — measured in BASELINE.md
+  s"-XX:+Use${sys.env.getOrElse("SPARK_GRAFT_GC", "Parallel")}GC",
+) ++ sys.env.getOrElse("SPARK_GRAFT_GC_OPTS", "-Xmn20g").split(" ").toSeq ++ Seq(
 )

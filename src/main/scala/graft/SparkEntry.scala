@@ -28,9 +28,13 @@ object SparkEntry {
     */
   private def dec2(c: Column): Column = c.cast("decimal(12,2)")
 
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship: the extraction engine over a deterministic synthetic web —
+    * url, title, extracted-text length, publish date per news page.
+    * Driver smoke-checks rows>0 on sf0.001.
+    */
   def entry(spark: SparkSession): DataFrame =
-    queries("q01_pricing_summary")(spark, "/root/testdata/sf0.001")
+    queries("q24_article_extract")(spark, "/root/testdata/sf0.001")
+      .filter($"n_text_chars" > 0)
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -239,6 +243,12 @@ object SparkEntry {
       Multimodal.features(payloads, "doc_id", "payload").toDF()
         .select($"id", $"entropy")
     }),
+
+    // Training-data: embedding-cosine near-dup pairs (rows-only; the
+    // embedding-space dedup — LSH blocking + exact cosine verify)
+    "q25_embedding_neardup" -> ((s, dir) =>
+      Similarity.cosineNearDupPairs(t(s, dir, "embeddings"), "vec_id",
+        "embedding", dim = 64, bits = 4, threshold = 0.2)),
 
     // Article extraction as a queryable operator over a deterministic
     // synthetic web (rows-only; byte-identity is covered by sbt test)

@@ -81,6 +81,13 @@ object CrawlJob {
         host -> Robots.parse(r.getString(1))
       }.toMap
 
+  /** S1 — seed-list scan (utils.py:199-202): text file, one URL per
+    * line, blanks dropped, order preserved (order defines hostRank).
+    */
+  def seedsFromFile(spark: SparkSession, path: String): Seq[String] =
+    spark.read.textFile(path).collect()
+      .map(_.trim).filter(_.nonEmpty).toSeq
+
   /** Seed state (wave-0 snapshot): cleaned, deduped (main.py:11-13),
     * hostRank = seed order.
     */
@@ -326,8 +333,8 @@ object CrawlJob {
       store.commitWave(spark, wave + 1, r.next, Some(r.articles), r.metrics,
         withLineage = !cfg.lean)
       bloom.foreach { bf =>
-        // stat.bloomFilter NPEs on an empty input (SPARK sketch reads a
-        // null aggregate buffer) — a zero-new-key wave merges nothing
+        // stat.bloomFilter NPEs on an empty input (null agg buffer) —
+        // a zero-new-key wave merges nothing
         if (r.newKeys.limit(1).count() > 0)
           bf.mergeInPlace(SeenSet.buildBloom(r.newKeys, expected, cfg.bloomFpp))
       }

@@ -75,6 +75,23 @@ object Similarity {
     (z & 1L) == 0L
   }
 
+  /** Embedding-cosine near-duplicate pairs: random-hyperplane buckets
+    * block the corpus, exact cosine verifies within-bucket pairs — the
+    * embedding-space member of the dedup family (complements MinHash/
+    * SimHash text dedup). Output (id_a < id_b, sim ≥ threshold).
+    */
+  def cosineNearDupPairs(corpus: DataFrame, idCol: String, embCol: String,
+                         dim: Int, bits: Int, threshold: Double): DataFrame = {
+    val n = withNorm(corpus, idCol, embCol)
+      .withColumn("sig", planeSignature($"v", dim, bits))
+    n.as("a").join(n.as("b"),
+        col("a.sig") === col("b.sig") && col("a.vec_id") < col("b.vec_id"))
+      .withColumn("sim", round(
+        dot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm")), 9))
+      .filter($"sim" >= threshold)
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"), $"sim")
+  }
+
   /** LSH-bucketed approximate top-k: join query and corpus on the
     * signature bucket, rank within bucket. Recall < 1 by construction;
     * `bits` trades recall vs bucket size.

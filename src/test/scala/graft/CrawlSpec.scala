@@ -142,6 +142,22 @@ class CrawlSpec extends AnyFunSuite {
     assert(a === b)
   }
 
+  test("snapshot expiration keeps the latest waves and resume still works") {
+    val store3 = Files.createTempDirectory("graftstore3").toString
+    val cfg3 = crawlCfg(store3)
+    CrawlJob.run(spark, cfg3, stopAfterWaves = 4)
+    val fs = new FrontierStore(store3)
+    val removed = fs.expireSnapshots(keepLast = 2)
+    assert(removed > 0)
+    assert(fs.latestWave().get === 4)
+    // latest state intact; articles append-log untouched
+    assert(fs.readState(spark, 4).count() > 0)
+    assert(fs.readArticles(spark, 4).get.count() > 0)
+    // resume continues from the latest snapshot
+    val w = CrawlJob.run(spark, cfg3, stopAfterWaves = 1)
+    assert(w === 5)
+  }
+
   test("WebGen is deterministic and robots rules parse") {
     val r1 = WebGen.rowAt(webCfg, 17L)
     val r2 = WebGen.rowAt(webCfg, 17L)
