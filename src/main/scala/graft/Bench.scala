@@ -83,7 +83,9 @@ object Bench {
       seeds = WebGen.seeds(webCfg),
       hostBudget = budget, cachePages = false, lean = true)
     warmRead(spark, webPath)
+    System.gc() // pay the full STW collection here, not mid-measurement
     val rampWave = CrawlJob.run(spark, cfg, stopAfterWaves = rampWaves)
+    System.gc()
     val t0 = System.nanoTime()
     val finalWave = CrawlJob.run(spark, cfg, stopAfterWaves = measureWaves)
     val sec = (System.nanoTime() - t0) / 1e9
