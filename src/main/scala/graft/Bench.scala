@@ -165,7 +165,15 @@ object Bench {
     val qJson = qTimes.map { case (k, v) => f""""$k":$v%.3f""" }
       .mkString("{", ",", "}")
     val total = qTimes.map(_._2).sum + sec4 + sec1
-    println(
-      f"""{"metric":"headline queries + frontier crawl (urls fetched+extracted/sec, ${cpus / 4} vs $cpus%d cores)","value":$total%.3f,"unit":"sec","queries":$qJson,"sf":"$sfDir","crawl":{"pages":${benchWebCfg.nPages},"waves":$waves,"fetched_4n":$fetched4,"sec_4n":$sec4%.2f,"urls_per_sec_4n":$thr4%.1f,"fetched_n":$fetched1,"sec_n":$sec1%.2f,"urls_per_sec_n":$thr1%.1f,"cores_4n":$cpus,"cores_n":${math.max(1, cpus / 4)},"scaling_efficiency":$efficiency%.3f}}""")
+    val json =
+      f"""{"metric":"headline queries + frontier crawl (urls fetched+extracted/sec, ${cpus / 4} vs $cpus%d cores)","value":$total%.3f,"unit":"sec","queries":$qJson,"sf":"$sfDir","crawl":{"pages":${benchWebCfg.nPages},"waves":$waves,"fetched_4n":$fetched4,"sec_4n":$sec4%.2f,"urls_per_sec_4n":$thr4%.1f,"fetched_n":$fetched1,"sec_n":$sec1%.2f,"urls_per_sec_n":$thr1%.1f,"cores_4n":$cpus,"cores_n":${math.max(1, cpus / 4)},"scaling_efficiency":$efficiency%.3f}}"""
+    // file copy first (survives any stdout mangling by the build tool),
+    // then the JSON as the final clean stdout line
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("BENCH_LAST.json"), json + "\n")
+    catch { case _: Throwable => () }
+    System.out.flush(); System.err.flush()
+    println(json)
+    System.out.flush()
   }
 }

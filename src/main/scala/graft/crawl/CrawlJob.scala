@@ -1,7 +1,7 @@
 package graft
 package crawl
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
@@ -11,23 +11,34 @@ import org.apache.spark.storage.StorageLevel
   * with declarative per-wave plans — scan/joins/windows that Catalyst
   * plans and AQE re-plans at runtime.
   *
-  * Wave w (state snapshot w → snapshot w+1):
-  *   1. eligible = pending ∧ attempts < maxAttempts            (P11/P12)
-  *   2. wave     = per-host priority top-B                     (A4/W1/W3)
-  *   3. fetch    = wave ⋈ pages on urlKey (+ ckey equality
-  *                 backstop against 64-bit collisions)         (J5/S4)
-  *   4. parse    = mapPartitions(PageParse) → articles + links (F-layer)
-  *   5. expand   = posexplode(links) → canonicalize → robots
-  *                 → wave-local dedup (min discovery tuple)    (P1-P9/SO4)
-  *   6. new      = candidates anti-join seen (Bloom prefilter) (J1)
-  *   7. fold     = state left-join wave results + union new    (S6/S7)
-  *   8. commit   = snapshot + articles + manifest (atomic)     (ST4)
+  * Wave w:
+  *   1. waveSet  = per-host priority top-B over the PENDING view  (A4/W1/W3)
+  *   2. fetch    = waveSet ⋈ pages on urlKey (+ ckey equality
+  *                 backstop against 64-bit collisions); duplicate
+  *                 captures collapse to the latest warc_ts          (J5/S4)
+  *   3. parse    = mapPartitions(PageParse) → articles + links     (F-layer)
+  *   4. expand   = posexplode(links) ∪ canonical-redirect targets
+  *                 → canonicalize → robots → wave-local dedup on the
+  *                 discovery total order (hostRank, parentRank,
+  *                 linkIdx — canon targets at linkIdx=-1, matching
+  *                 RefSpec's shared candidates map)                (P1-P9/SO4/ST5)
+  *   5. new      = candidates anti-join seen keys (sharded-Bloom
+  *                 prefilter, exact backstop)                      (J1)
+  *   6. outcomes = terminal rows this wave: scheduled hits,
+  *                 exhausted retries, robots-disallowed discoveries,
+  *                 attributed canon targets, canon upgrades of
+  *                 previously-pending rows (scraped=1 semantics,
+  *                 crawler.py:102-127,145-149)                     (S6/ST5/ST6)
+  *   7. commit   = O(wave) delta: outcomes + pendadd + keys +
+  *                 articles (+ periodic pending compaction)        (ST4)
   *
-  * Scale notes: state and candidates shuffle on the 8-byte urlKey, never
-  * on url strings; the politeness window is the only host-keyed stage and
-  * is skew-bounded (Scheduler); articles leave the state fold entirely;
-  * per-wave lineage is truncated by reading the committed snapshot back
-  * from disk (no unbounded iterative plan growth).
+  * Scale: NOTHING in a wave is O(total state) — the former
+  * full-state left-join fold and full-snapshot rewrite are replaced by
+  * the delta store ([[FrontierStore]]); the seen set is an append-only
+  * urlKey log probed through executor-side sharded Bloom filters
+  * ([[ShardedBloom]]); candidates shuffle on the 8-byte urlKey, never on
+  * url strings; the politeness window is the only host-keyed stage and is
+  * skew-bounded ([[Scheduler]]).
   */
 object CrawlJob {
 
@@ -40,8 +51,10 @@ object CrawlJob {
       maxWaves: Int = 10000,
       /** ≤ 0 disables the Bloom prefilter (plain anti-join). */
       bloomFpp: Double = 0.03,
-      /** expected total distinct URLs (sizes the mergeable Bloom
-        * geometry); 0 → derived from the pages-table row count
+      /** number of seen-set Bloom shards (pmod(urlKey, shards)). */
+      bloomShards: Int = 8,
+      /** expected total distinct URLs (sizes the Bloom geometry);
+        * 0 → derived from the pages-table row count
         */
       expectedTotalUrls: Long = 0L,
       /** cache the urlKey-pre-partitioned pages table across waves (the
@@ -50,6 +63,10 @@ object CrawlJob {
         * one per wave)
         */
       cachePages: Boolean = true,
+      /** rewrite the pending base every K committed waves (bounds the
+        * delta chain the per-wave pending view reads)
+        */
+      compactEvery: Int = 4,
       /** bench mode: skip per-wave metric actions + lineage manifests —
         * only the data path runs (same results, fewer driver round-trips)
         */
@@ -58,19 +75,24 @@ object CrawlJob {
   /** scheme-stripped canonical key, in-plan (matches the reference's
     * UNIQUE key = url minus scheme, /root/reference/utils.py:334-340).
     */
-  private def ckeyOf(url: org.apache.spark.sql.Column) =
+  private def ckeyOf(url: Column) =
     regexp_replace(url, "^https?://", "")
 
-  /** Input pages keyed for the fetch join. Only (urlKey, ckey, url, html)
-    * — column pruning keeps text/lang out of the fetch scan.
+  /** Input pages keyed for the fetch join. Only (urlKey, ckey, warc_ts,
+    * html) — column pruning keeps text/lang out of the fetch scan;
+    * warc_ts feeds the duplicate-capture collapse in the wave join.
     */
   def keyedPages(spark: SparkSession, cfg: Config): DataFrame =
     spark.read.parquet(cfg.pagesPath)
-      .select($"url", $"html")
+      .select($"url", $"warc_ts", $"html")
       .withColumn("ckey", ckeyOf($"url"))
       .withColumn("urlKey", xxhash64($"ckey"))
+      .drop("url")
 
-  /** robots.txt rules per host, collected once (tiny: ≤1 row/host). */
+  /** robots.txt rules per host, collected once (tiny: ≤1 row/host). At
+    * 10^8 hosts this becomes a broadcast-joined rules table instead of a
+    * driver map — same plan shape, rules keyed by host.
+    */
   def robotsRules(spark: SparkSession, cfg: Config): Map[String, Seq[String]] =
     spark.read.parquet(cfg.pagesPath)
       .filter($"url".endsWith("/robots.txt"))
@@ -88,7 +110,7 @@ object CrawlJob {
     spark.read.textFile(path).collect()
       .map(_.trim).filter(_.nonEmpty).toSeq
 
-  /** Seed state (wave-0 snapshot): cleaned, deduped (main.py:11-13),
+  /** Seed state (wave-0 pending base): cleaned, deduped (main.py:11-13),
     * hostRank = seed order.
     */
   def initState(spark: SparkSession, cfg: Config): DataFrame = {
@@ -117,69 +139,71 @@ object CrawlJob {
     "fetchWave", "scheduledRank", "urlToRefer")
   private def stateCols = stateColNames.map(col)
 
-  /** One wave's outputs. `newKeys` = urlKeys added to the seen set this
-    * wave (for incremental Bloom maintenance); `cached` = persisted
-    * intermediates to release after the commit.
+  /** One wave's delta outputs. Outcome/pendadd key sets are disjoint by
+    * construction (the FrontierStore contract).
     */
-  case class WaveResult(next: DataFrame, articles: DataFrame,
-      metrics: WaveMetrics, newKeys: DataFrame,
+  case class WaveResult(scheduled: Long, outcomes: DataFrame,
+      pendadd: DataFrame, keys: DataFrame, articles: DataFrame,
+      metrics: WaveMetrics,
       cached: Seq[org.apache.spark.sql.Dataset[_]])
 
-  def runWave(spark: SparkSession, state: DataFrame, pages: DataFrame,
-              rules: Map[String, Seq[String]], wave: Int, cfg: Config,
-              bloom: Option[org.apache.spark.util.sketch.BloomFilter]): WaveResult = {
+  def runWave(spark: SparkSession, pending: DataFrame, seenKeys: DataFrame,
+              pages: DataFrame, rules: Map[String, Seq[String]], wave: Int,
+              cfg: Config, probe: Option[Column => Column]): WaveResult = {
     import spark.implicits._
 
-    val eligible = state.filter($"status" === Status.Pending &&
-      $"attempts" < cfg.maxAttempts)
-    val waveSet = Scheduler.selectWave(eligible, cfg.hostBudget)
+    // 1. politeness window over the pending view (all pending rows are
+    // eligible by construction: attempts≥max rows were finalized)
+    val waveSet = Scheduler.selectWave(pending, cfg.hostBudget)
       .persist(StorageLevel.DISK_ONLY)
-    val scheduled = if (cfg.lean) -1L else waveSet.count()
+    val scheduled = waveSet.count()
 
-    // fetch: left join pages; ckey string equality guards hash collisions
+    // 2. fetch join; ckey string equality guards hash collisions. A
+    // WARC-style table may carry multiple captures per url — collapse to
+    // the latest warc_ts. The groupBy keys equal the join keys, so
+    // Catalyst reuses the join's partitioning: no extra shuffle.
+    val joinedCols = waveSet.columns.filterNot(c => c == "urlKey" || c == "ckey") ++
+      Seq("warc_ts", "html")
     val joined = waveSet.join(
-        pages.select($"urlKey", $"ckey", $"html"), Seq("urlKey", "ckey"), "left")
+        pages.select($"urlKey", $"ckey", $"warc_ts", $"html"),
+        Seq("urlKey", "ckey"), "left")
+      .groupBy($"urlKey", $"ckey")
+      // coalesce: a join MISS has warc_ts null, and max_by over an
+      // all-null ordering returns null — misses must survive as rows
+      .agg(max_by(struct(joinedCols.map(col): _*),
+        coalesce($"warc_ts", to_timestamp(lit("1970-01-01")))).as("r"))
+      .select(col("urlKey") +: col("ckey") +: joinedCols.map(c => col(s"r.$c")): _*)
       .persist(StorageLevel.DISK_ONLY)
 
-    val hits = joined.filter($"html".isNotNull)
-    val parsed = hits
+    // 3. parse (F1-F21 inside PageParse; per-row error containment)
+    val parsed = joined.filter($"html".isNotNull)
       .select($"urlKey", $"ckey", $"url", $"host", $"hostRank",
-        $"scheduledRank", $"isWebnews", $"html")
-      .as[(Long, String, String, String, Int, Long, Boolean, Array[Byte])]
+        $"isWebnews", $"discWave", $"parentRank", $"linkIdx", $"attempts",
+        $"scheduledRank", $"html")
+      .as[(Long, String, String, String, Int, Boolean, Int, Long, Int, Int, Long, Array[Byte])]
       .mapPartitions { it =>
-        it.map { case (k, ck, u, h, hr, rk, wn, html) =>
+        it.map { case (k, ck, u, h, hr, wn, dw, pr, li, at, rk, html) =>
           val p = PageParse.parse(html, u, wn)
           // ST5: canonical disagreement → redirect (crawler.py:102-106)
           val redirectTo =
             if (p.canonical != null && p.canonical.nonEmpty &&
                 !UrlOps.areEqualsUrls(p.canonical, u)) p.canonical else null
-          FetchedPage(k, ck, u, h, hr, rk, p.title, p.text, p.language,
-            p.publishDate, p.authors, p.videos, p.sections, p.topImage,
-            p.isWebnewsMeta, redirectTo, p.links)
+          FetchedPage(k, ck, u, h, hr, wn, dw, pr, li, at, rk, p.title,
+            p.text, p.language, p.publishDate, p.authors, p.videos,
+            p.sections, p.topImage, p.isWebnewsMeta, redirectTo, p.links)
         }
       }
       .persist(StorageLevel.DISK_ONLY)
 
-    // articles: redirected pages publish their content under the
-    // canonical url (reference: current_url = canonical_url before
-    // _manage_extracted_data, crawler.py:105-111)
-    val articleCols = Seq(
-      $"title", $"text", $"language", $"publishDate", $"authors",
-      $"videos", $"sections", $"topImage", $"isWebnewsMeta",
-      size($"links").as("nLinks"))
-    val articles = parsed.filter($"redirectTo".isNull)
-      .select(Seq($"urlKey", $"url", $"host", lit(wave).as("fetchWave")) ++ articleCols: _*)
-      .unionByName(parsed.filter($"redirectTo".isNotNull)
-        .withColumn("curl", $"redirectTo")
-        .withColumn("cckey", ckeyOf($"curl"))
-        .select(Seq(xxhash64($"cckey").as("urlKey"), $"curl".as("url"),
-          $"host", lit(wave).as("fetchWave")) ++ articleCols: _*))
-
-    // frontier expansion: document-order link index, canonicalize, robots
+    // 4. frontier expansion: links (document order) ∪ canonical targets
+    // (linkIdx = -1), one shared dedup on the discovery total order
+    // (hostRank, parentRank, linkIdx) — exactly RefSpec's single
+    // candidates map, so a canon target that is also linked in the same
+    // wave resolves to ONE deterministic winner.
     val rulesBc = spark.sparkContext.broadcast(rules)
     val disallowedUdf = udf((host: String, url: String) =>
       Robots.isDisallowed(rulesBc.value, host, url))
-    val rawCand = parsed
+    val linkCand = parsed
       .select($"host", $"hostRank", $"scheduledRank".as("parentRank"),
         posexplode($"links").as(Seq("linkIdx", "url")))
       .withColumn("ckey", ckeyOf($"url"))
@@ -189,109 +213,139 @@ object CrawlJob {
       .withColumn("isWebnews", graft.functions.UrlExpressions.is_news_url($"url"))
       .withColumn("status", when(disallowedUdf($"host", $"url"),
         Status.Disallowed).otherwise(Status.Pending))
-
-    // wave-local dedup: keep the earliest discovery tuple per urlKey
-    val cand = rawCand
+      .withColumn("fetchWave", lit(-1))
+    // ST5: canonical targets enter as already-Fetched rows (reference:
+    // INSERT OR IGNORE + immediate scraped=1 content update)
+    val canonCand = parsed.filter($"redirectTo".isNotNull)
+      .select($"redirectTo".as("url"), $"host", $"hostRank",
+        $"scheduledRank".as("parentRank"))
+      .withColumn("linkIdx", lit(-1))
+      .withColumn("ckey", ckeyOf($"url"))
+      .withColumn("urlKey", xxhash64($"ckey"))
+      .withColumn("isWebnews", GraftUdfs.isNews($"url"))
+      .withColumn("status", lit(Status.Fetched))
+      .withColumn("fetchWave", lit(wave))
+    val candColOrder = Seq("urlKey", "ckey", "url", "host", "hostRank",
+      "isWebnews", "parentRank", "linkIdx", "status", "fetchWave").map(col)
+    val cand = linkCand.select(candColOrder: _*)
+      .unionByName(canonCand.select(candColOrder: _*))
       .groupBy($"urlKey", $"ckey")
       .agg(min_by(
         struct($"url", $"host", $"hostRank", $"isWebnews", $"parentRank",
-          $"linkIdx", $"status"),
-        struct($"parentRank", $"linkIdx")).as("r"))
+          $"linkIdx", $"status", $"fetchWave"),
+        struct($"hostRank", $"parentRank", $"linkIdx")).as("r"))
       .select($"urlKey", $"ckey", $"r.url", $"r.host", $"r.hostRank",
         $"r.isWebnews", lit(wave).as("discWave"), $"r.parentRank",
-        $"r.linkIdx", $"r.status", lit(0).as("attempts"),
-        lit(-1).as("fetchWave"), lit(-1L).as("scheduledRank"),
+        $"r.linkIdx", $"r.status", lit(0).as("attempts"), $"r.fetchWave",
+        lit(-1L).as("scheduledRank"),
         lit(null).cast("string").as("urlToRefer"))
       .persist(StorageLevel.DISK_ONLY)
-    val candCount = if (cfg.lean) -1L else cand.count()
 
-    val newRows = SeenSet.filterNew(cand, state, bloom)
+    // 5. J1 — strictly-new discoveries (sharded Bloom + exact anti-join)
+    val newEntries = SeenSet.filterNew(cand, seenKeys, probe)
       .persist(StorageLevel.DISK_ONLY)
-    val newCount = if (cfg.lean) -1L else newRows.count()
-    val disallowedCount = if (cfg.lean) -1L
-      else newRows.filter($"status" === Status.Disallowed).count()
+    val attributedNew = newEntries.filter($"status" === Status.Fetched)
+    val newPending = newEntries.filter($"status" === Status.Pending)
+    val newDisallowed = newEntries.filter($"status" === Status.Disallowed)
 
-    // ST5: canonical targets enter the state as already-Fetched rows
-    // (reference: INSERT OR IGNORE + immediate scraped=1 update). Canon
-    // targets are never otherwise linked, but the anti-join keeps this
-    // exact under any input.
-    val attributed0 = SeenSet.filterNew(
-      parsed.filter($"redirectTo".isNotNull)
-        .select($"redirectTo".as("url"), $"host", $"hostRank",
-          $"scheduledRank".as("parentRank"))
-        .withColumn("ckey", ckeyOf($"url"))
-        .withColumn("urlKey", xxhash64($"ckey"))
-        .withColumn("isWebnews", GraftUdfs.isNews($"url"))
-        .withColumn("discWave", lit(wave))
-        .withColumn("linkIdx", lit(-1))
-        .withColumn("status", lit(Status.Fetched))
-        .withColumn("attempts", lit(0))
-        .withColumn("fetchWave", lit(wave))
-        .withColumn("scheduledRank", lit(-1L))
-        .withColumn("urlToRefer", lit(null).cast("string"))
-        .select(stateCols: _*)
-        .dropDuplicates("urlKey", "ckey"),
-      state, bloom)
-    val attributed = attributed0.persist(StorageLevel.DISK_ONLY)
-
-    // state fold: apply wave outcomes, then append the new discoveries
-    val hitOut = parsed.select($"urlKey", $"ckey",
-      $"scheduledRank".as("rk"), lit(true).as("hit"), $"redirectTo")
-    val missOut = joined.filter($"html".isNull).select($"urlKey", $"ckey",
-      $"scheduledRank".as("rk"), lit(false).as("hit"),
-      lit(null).cast("string").as("redirectTo"))
-    val outcomes = hitOut.unionByName(missOut)
-    val folded = state.join(outcomes, Seq("urlKey", "ckey"), "left")
-      .withColumn("status2",
-        when($"hit".isNull, $"status")
-          .when($"hit" && $"redirectTo".isNotNull, lit(Status.Redirected))
-          .when($"hit", lit(Status.Fetched))
-          .when($"attempts" + 1 >= cfg.maxAttempts, lit(Status.Failed))
-          .otherwise(lit(Status.Pending)))
-      .withColumn("attempts2",
-        when($"hit".isNull || $"hit", $"attempts").otherwise($"attempts" + 1))
-      .withColumn("fetchWave2",
-        when($"hit".isNotNull && $"hit", lit(wave)).otherwise($"fetchWave"))
-      .withColumn("scheduledRank2",
-        when($"hit".isNotNull && $"hit", $"rk").otherwise($"scheduledRank"))
-      .withColumn("urlToRefer2",
-        when($"hit".isNotNull && $"hit" && $"redirectTo".isNotNull, $"redirectTo")
-          .otherwise($"urlToRefer"))
-      .drop("status", "attempts", "fetchWave", "scheduledRank",
-        "urlToRefer", "hit", "rk", "redirectTo")
-      .withColumnRenamed("status2", "status")
-      .withColumnRenamed("attempts2", "attempts")
-      .withColumnRenamed("fetchWave2", "fetchWave")
-      .withColumnRenamed("scheduledRank2", "scheduledRank")
-      .withColumnRenamed("urlToRefer2", "urlToRefer")
+    // canon targets ALREADY pending from earlier waves are upgraded to
+    // Fetched without a refetch (the reference's UPDATE … WHERE url=? AND
+    // scraped=0 path, crawler.py:145-149 + datacollector.py:281-290);
+    // targets scheduled THIS wave keep their own fetch outcome instead.
+    val canonKeys = cand.filter($"status" === Status.Fetched)
+      .select($"urlKey", $"ckey")
+    val upgrades = pending
+      .join(canonKeys, Seq("urlKey", "ckey"), "left_semi")
+      .join(waveSet.select($"urlKey", $"ckey"), Seq("urlKey", "ckey"), "left_anti")
+      .withColumn("status", lit(Status.Fetched))
+      .withColumn("fetchWave", lit(wave))
       .select(stateCols: _*)
 
-    val nextState = folded
-      .unionByName(newRows.select(stateCols: _*))
-      .unionByName(attributed)
+    // 6. outcomes of the scheduled rows (no full-state join: every field
+    // rode along through the politeness window and the parse)
+    val hitOutcomes = parsed.select($"urlKey", $"ckey", $"url", $"host",
+      $"hostRank", $"isWebnews", $"discWave", $"parentRank", $"linkIdx",
+      when($"redirectTo".isNotNull, lit(Status.Redirected))
+        .otherwise(lit(Status.Fetched)).as("status"),
+      $"attempts", lit(wave).as("fetchWave"), $"scheduledRank",
+      $"redirectTo".as("urlToRefer"))
+    val misses = joined.filter($"html".isNull)
+    val missBase = misses.select($"urlKey", $"ckey", $"url", $"host",
+      $"hostRank", $"isWebnews", $"discWave", $"parentRank", $"linkIdx",
+      ($"attempts" + 1).as("attempts"))
+    val failedOut = missBase.filter($"attempts" >= cfg.maxAttempts)
+      .withColumn("status", lit(Status.Failed))
+      .withColumn("fetchWave", lit(-1))
+      .withColumn("scheduledRank", lit(-1L))
+      .withColumn("urlToRefer", lit(null).cast("string"))
+      .select(stateCols: _*)
+    val retries = missBase.filter($"attempts" < cfg.maxAttempts)
+      .withColumn("status", lit(Status.Pending))
+      .withColumn("fetchWave", lit(-1))
+      .withColumn("scheduledRank", lit(-1L))
+      .withColumn("urlToRefer", lit(null).cast("string"))
+      .select(stateCols: _*)
 
+    val outcomes = hitOutcomes.select(stateCols: _*)
+      .unionByName(failedOut)
+      .unionByName(attributedNew.select(stateCols: _*))
+      .unionByName(newDisallowed.select(stateCols: _*))
+      .unionByName(upgrades)
+    val pendadd = retries.unionByName(newPending.select(stateCols: _*))
+    val newKeys = newEntries.select($"urlKey")
+
+    // articles: a redirected page publishes its content under the
+    // canonical url (reference: current_url = canonical_url before
+    // _manage_extracted_data, crawler.py:105-111) — but only when that
+    // target is new or upgraded this wave (the reference's UPDATE hits
+    // only scraped=0 rows); duplicates per target collapse to the first
+    // discoverer in (hostRank, parentRank) order.
+    val articleCols = Seq(
+      $"title", $"text", $"language", $"publishDate", $"authors",
+      $"videos", $"sections", $"topImage", $"isWebnewsMeta",
+      size($"links").as("nLinks"))
+    val ownArticles = parsed.filter($"redirectTo".isNull)
+      .select(Seq($"urlKey", $"url", $"host", lit(wave).as("fetchWave")) ++ articleCols: _*)
+    val redirectTargetKeys = attributedNew.select($"urlKey")
+      .unionByName(upgrades.select($"urlKey"))
+    val redirectArticles = parsed.filter($"redirectTo".isNotNull)
+      .withColumn("curl", $"redirectTo")
+      .withColumn("tkey", xxhash64(ckeyOf($"curl")))
+      .groupBy($"tkey")
+      .agg(min_by(
+        struct(Seq($"curl", $"host") ++ articleCols: _*),
+        struct($"hostRank", $"parentRank")).as("r"))
+      .join(redirectTargetKeys.withColumnRenamed("urlKey", "tkey"),
+        Seq("tkey"), "left_semi")
+      .select($"tkey".as("urlKey"), $"r.curl".as("url"), $"r.host",
+        lit(wave).as("fetchWave"), $"r.title", $"r.text", $"r.language",
+        $"r.publishDate", $"r.authors", $"r.videos", $"r.sections",
+        $"r.topImage", $"r.isWebnewsMeta", $"r.nLinks")
+    val articles = ownArticles.unionByName(redirectArticles)
+
+    // metrics (driver actions only outside lean mode)
     val fetchedCount = if (cfg.lean) -1L else parsed.count()
-    val failedFinal = if (cfg.lean) -1L else folded.filter(
-      $"status" === Status.Failed && $"attempts" >= cfg.maxAttempts).count()
+    val candCount = if (cfg.lean) -1L else cand.count()
+    val newCount = if (cfg.lean) -1L else newEntries.count()
+    val disallowedCount = if (cfg.lean) -1L else newDisallowed.count()
+    val failedFinal = if (cfg.lean) -1L else failedOut.count()
     val metrics = WaveMetrics(
       wave = wave,
       scheduled = scheduled,
       fetched = fetchedCount,
       failedFinal = failedFinal,
-      retried = scheduled - fetchedCount,
+      retried = if (cfg.lean) -1L else scheduled - fetchedCount,
       newLinks = newCount,
-      dupLinks = candCount - newCount,
+      dupLinks = if (cfg.lean) -1L else candCount - newCount,
       disallowed = disallowedCount,
-      pendingAfter = -1) // filled after commit from the snapshot
+      pendingAfter = -1) // filled by the caller when not lean
 
-    val newKeys = newRows.select($"urlKey")
-      .unionByName(attributed.select($"urlKey"))
-    WaveResult(nextState, articles.toDF(), metrics, newKeys,
-      Seq(waveSet, joined, parsed, cand, newRows, attributed))
+    WaveResult(scheduled, outcomes, pendadd, newKeys, articles.toDF(),
+      metrics, Seq(waveSet, joined, parsed, cand, newEntries))
   }
 
-  /** Full crawl (or resume from the latest committed snapshot). Returns
-    * the final committed wave id.
+  /** Full crawl (or resume from the latest committed wave). Returns the
+    * final committed wave id.
     */
   def run(spark: SparkSession, cfg: Config,
           stopAfterWaves: Int = Int.MaxValue): Int = {
@@ -309,43 +363,55 @@ object CrawlJob {
 
     var wave = store.latestWave().getOrElse {
       val init = initState(spark, cfg)
-      store.commitWave(spark, 0, init, None,
+      store.commitInit(spark, init,
         WaveMetrics(0, 0, 0, 0, 0, cfg.seeds.size, 0, 0, cfg.seeds.size))
       0
     }
-    var state = store.readState(spark, wave)
 
-    // seen-set Bloom: built once from the current state (resume-safe),
-    // then maintained incrementally with each wave's new keys
+    // sharded seen-set Bloom, persisted beside the snapshots; on a fresh
+    // store it is seeded from the committed keys log (resume-safe)
     val expected =
       if (cfg.expectedTotalUrls > 0) cfg.expectedTotalUrls
-      else math.max(pages0.count() * 2, 1000L)
-    var bloom: Option[org.apache.spark.util.sketch.BloomFilter] =
+      else math.max(spark.read.parquet(cfg.pagesPath).count() * 2, 1000L)
+    val bloom: Option[ShardedBloom] =
       if (cfg.bloomFpp <= 0) None
-      else Some(SeenSet.buildBloom(state.select($"urlKey"), expected, cfg.bloomFpp))
+      else Some(ShardedBloom.ensure(store.bloomDir, cfg.bloomShards,
+        expected, cfg.bloomFpp, store.allKeys(spark, wave)))
 
+    var pending = store.pendingView(spark, wave)
+      .persist(StorageLevel.DISK_ONLY)
     var wavesRun = 0
-    while (wavesRun < stopAfterWaves && wave < cfg.maxWaves &&
-        state.filter($"status" === Status.Pending &&
-          $"attempts" < cfg.maxAttempts).limit(1).count() > 0) {
+    var exhausted = false
+    while (!exhausted && wavesRun < stopAfterWaves && wave < cfg.maxWaves) {
       val t0 = System.nanoTime()
-      val r = runWave(spark, state, pages, rules, wave, cfg, bloom)
-      store.commitWave(spark, wave + 1, r.next, Some(r.articles), r.metrics,
-        withLineage = !cfg.lean)
-      bloom.foreach { bf =>
-        // stat.bloomFilter NPEs on an empty input (null agg buffer) —
-        // a zero-new-key wave merges nothing
-        if (r.newKeys.limit(1).count() > 0)
-          bf.mergeInPlace(SeenSet.buildBloom(r.newKeys, expected, cfg.bloomFpp))
+      val seenKeys = store.allKeys(spark, wave)
+      val r = runWave(spark, pending, seenKeys, pages, rules, wave, cfg,
+        bloom.map(_.probe(wave)))
+      if (r.scheduled == 0) {
+        r.cached.foreach(_.unpersist(blocking = false))
+        exhausted = true
+      } else {
+        store.commitWave(spark, wave + 1, r.outcomes, r.pendadd, r.keys,
+          Some(r.articles), r.metrics, withLineage = !cfg.lean,
+          preCommit = () => bloom.foreach(_.update(r.keys)))
+        wave += 1
+        wavesRun += 1
+        if (cfg.compactEvery > 0 && wave % cfg.compactEvery == 0)
+          store.compact(spark, wave)
+        // incremental pending update: O(wave) removal keys (AQE
+        // broadcasts the small side) — re-read from disk so the plan's
+        // lineage stays bounded and resume-equivalent
+        val np = store.pendingView(spark, wave)
+          .persist(StorageLevel.DISK_ONLY)
+        r.cached.foreach(_.unpersist(blocking = false))
+        pending.unpersist(blocking = false)
+        pending = np
+        System.err.println(f"[crawl] wave ${wave - 1} committed in ${(System.nanoTime() - t0) / 1e9}%.2fs" +
+          (if (cfg.lean) ""
+           else s" (scheduled=${r.metrics.scheduled} fetched=${r.metrics.fetched} new=${r.metrics.newLinks})"))
       }
-      r.cached.foreach(_.unpersist(blocking = false))
-      System.err.println(f"[crawl] wave $wave committed in ${(System.nanoTime() - t0) / 1e9}%.2fs" +
-        (if (cfg.lean) ""
-         else s" (scheduled=${r.metrics.scheduled} fetched=${r.metrics.fetched} new=${r.metrics.newLinks})"))
-      wave += 1
-      wavesRun += 1
-      state = store.readState(spark, wave)
     }
+    pending.unpersist(blocking = false)
     if (cfg.cachePages) pages.unpersist(blocking = false)
     wave
   }

@@ -5,59 +5,108 @@ import java.nio.file.{Files, Path, Paths, StandardCopyOption}
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Iceberg-shaped snapshot store over partitioned Parquet (SURVEY.md §7.0:
-  * no Iceberg runtime jar in this sandbox — this trait-level contract is
-  * what a real Iceberg catalog would drop into).
+/** Iceberg-shaped DELTA store for the frontier (SURVEY.md §7.0: no Iceberg
+  * runtime jar in this sandbox — this is the MERGE-INTO shape a real
+  * Iceberg catalog would drop into).
+  *
+  * The state is split by lifecycle so a wave commit is O(wave), never
+  * O(state):
+  *   - terminal rows (Fetched/Redirected/Failed/Disallowed) are an
+  *     APPEND-ONLY log, one dir per wave — they never change again;
+  *   - pending rows (the frontier) are a BASE snapshot plus per-wave
+  *     deltas (`pendadd` upserts; removals are implied by a key appearing
+  *     in the same wave's outcomes or pendadd), compacted every K waves;
+  *   - seen KEYS are an append-only urlKey-only log (the seen-set join
+  *     side — 8 bytes/row columnar, Iceberg-bucketed on a cluster).
   *
   * Layout:
   * {{{
-  *   root/wave_00007/state/      frontier snapshot (parquet)
-  *   root/wave_00007/articles/   articles extracted IN wave 7 (parquet)
+  *   root/base_00000/pending/     compacted frontier snapshot (parquet)
+  *   root/wave_00007/outcomes/    rows finalized IN wave 7
+  *   root/wave_00007/pendadd/     pending upserts from wave 7 (new + retries)
+  *   root/wave_00007/keys/        urlKeys first seen in wave 7
+  *   root/wave_00007/articles/    articles extracted in wave 7 (append log)
   *   root/wave_00007/manifest.json  metrics + per-partition lineage
-  *   root/_LATEST                committed wave id (atomic rename commit)
+  *   root/bloom/shard_*.bf        sharded seen-set Bloom (ShardedBloom)
+  *   root/_LATEST                 committed wave id (atomic rename commit)
   * }}}
   *
-  * Commit protocol: data dirs are written first, the manifest second, and
-  * `_LATEST` is atomically renamed into place last — a crashed wave leaves
-  * `_LATEST` pointing at the previous complete snapshot, so resume is
-  * always from a consistent wave (ST4 checkpointing; the reference's
-  * equivalent durability is SQLite WAL commits, datacollector.py:226-252).
+  * Commit protocol: data dirs first, Bloom update second (filters must be
+  * a superset of committed keys — see [[ShardedBloom]]), manifest third,
+  * `_LATEST` atomically renamed last. A crashed wave leaves `_LATEST` on
+  * the previous complete wave, so resume is always consistent (ST4; the
+  * reference's equivalent durability is SQLite WAL commits,
+  * /root/reference/storage_tools/datacollector.py:226-252).
+  *
+  * Within one wave the outcomes and pendadd KEY SETS ARE DISJOINT
+  * (CrawlJob guarantees it: a scheduled hit/upgrade is terminal, a
+  * scheduled miss retries in pendadd, a new discovery is exactly one of
+  * the two) — so "latest wave wins per key" needs no intra-wave
+  * tie-break.
   */
 class FrontierStore(val root: String) {
 
   private def waveDir(w: Int): String = f"$root/wave_$w%05d"
+  private def baseRoot(w: Int): String = f"$root/base_$w%05d"
 
-  def statePath(w: Int): String = s"${waveDir(w)}/state"
+  def outcomesPath(w: Int): String = s"${waveDir(w)}/outcomes"
+  def pendaddPath(w: Int): String = s"${waveDir(w)}/pendadd"
+  def keysPath(w: Int): String = s"${waveDir(w)}/keys"
   def articlesPath(w: Int): String = s"${waveDir(w)}/articles"
+  def basePath(w: Int): String = s"${baseRoot(w)}/pending"
+  def bloomDir: String = s"$root/bloom"
 
-  def commitWave(spark: SparkSession, wave: Int, state: DataFrame,
+  private def exists(p: String): Boolean = Files.exists(Paths.get(p))
+
+  /** Wave-0 commit: the seed rows become the first pending base and the
+    * first keys append (main.py:11-13 seed dedup happened upstream).
+    */
+  def commitInit(spark: SparkSession, init: DataFrame,
+                 metrics: WaveMetrics,
+                 preCommit: () => Unit = () => ()): Unit = {
+    init.write.mode(SaveMode.Overwrite).parquet(basePath(0))
+    init.select("urlKey").write.mode(SaveMode.Overwrite).parquet(keysPath(0))
+    preCommit()
+    writeManifest(0, metrics, lineage = "{}")
+    markLatest(0)
+  }
+
+  def commitWave(spark: SparkSession, wave: Int, outcomes: DataFrame,
+                 pendadd: DataFrame, keys: DataFrame,
                  articles: Option[DataFrame], metrics: WaveMetrics,
-                 withLineage: Boolean = true): Unit = {
-    // sequential writes: concurrent jobs over the same cached wave
-    // intermediates were measured to double peak memory pressure and
-    // trigger GC stalls at local[32] — the overlap saving (~1s/wave) is
-    // not worth the variance
-    state.write.mode(SaveMode.Overwrite).parquet(statePath(wave))
+                 withLineage: Boolean = true,
+                 preCommit: () => Unit = () => ()): Unit = {
+    outcomes.write.mode(SaveMode.Overwrite).parquet(outcomesPath(wave))
+    pendadd.write.mode(SaveMode.Overwrite).parquet(pendaddPath(wave))
+    keys.write.mode(SaveMode.Overwrite).parquet(keysPath(wave))
     articles.foreach(_.write.mode(SaveMode.Overwrite).parquet(articlesPath(wave)))
+    preCommit() // Bloom update: superset-safe before _LATEST
+    // per-partition lineage of THIS wave's delta (re-read from disk so the
+    // manifest describes the committed bytes) — O(wave), not O(state)
+    val lineage = if (!withLineage) "{}" else
+      readOutcomes(spark, wave).select("urlKey")
+        .unionByName(readPendadd(spark, wave).select("urlKey"))
+        .groupBy(pmod(col("urlKey"), lit(16)).as("shard"))
+        .agg(count(lit(1)).as("rows"))
+        .collect().map(r => s""""${r.getLong(0)}": ${r.getLong(1)}""")
+        .sorted.mkString("{", ", ", "}")
+    writeManifest(wave, metrics, lineage)
+    markLatest(wave)
+  }
 
-    // per-partition lineage: row count per urlKey shard of the committed
-    // snapshot (re-read, so the manifest describes the bytes on disk)
-    val lineage = if (!withLineage) "{}" else spark.read.parquet(statePath(wave))
-      .groupBy(pmod(col("urlKey"), lit(16)).as("shard"))
-      .agg(count(lit(1)).as("rows"))
-      .collect().map(r => s""""${r.getLong(0)}": ${r.getLong(1)}""")
-      .sorted.mkString("{", ", ", "}")
-    val m = metrics
+  private def writeManifest(wave: Int, m: WaveMetrics, lineage: String): Unit = {
     val manifest =
       s"""{"wave": ${m.wave}, "scheduled": ${m.scheduled}, "fetched": ${m.fetched},
          | "failed_final": ${m.failedFinal}, "retried": ${m.retried},
          | "new_links": ${m.newLinks}, "dup_links": ${m.dupLinks},
          | "disallowed": ${m.disallowed}, "pending_after": ${m.pendingAfter},
-         | "state_path": "${statePath(wave)}",
+         | "delta_paths": ["${outcomesPath(wave)}", "${pendaddPath(wave)}"],
          | "lineage_rows_per_shard": $lineage}""".stripMargin
     Files.createDirectories(Paths.get(waveDir(wave)))
     Files.writeString(Paths.get(s"${waveDir(wave)}/manifest.json"), manifest)
+  }
 
+  private def markLatest(wave: Int): Unit = {
     val tmp = Paths.get(s"$root/_LATEST.tmp")
     Files.writeString(tmp, wave.toString)
     Files.move(tmp, Paths.get(s"$root/_LATEST"),
@@ -70,23 +119,82 @@ class FrontierStore(val root: String) {
     if (Files.exists(p)) Some(Files.readString(p).trim.toInt) else None
   }
 
-  def readState(spark: SparkSession, wave: Int): DataFrame =
-    spark.read.parquet(statePath(wave))
+  def readOutcomes(spark: SparkSession, w: Int): DataFrame =
+    spark.read.parquet(outcomesPath(w))
+  def readPendadd(spark: SparkSession, w: Int): DataFrame =
+    spark.read.parquet(pendaddPath(w))
+
+  /** Newest compacted base at or below `wave`. */
+  def latestBase(wave: Int): Int =
+    (0 to wave).filter(w => exists(basePath(w))).max
+
+  /** The frontier (pending rows, all with attempts < max) as of `wave`:
+    * base ⊕ deltas, latest wave wins per key, terminal keys drop out.
+    * Cost: one shuffle over O(pending + deltas-since-base) — the
+    * compaction cadence bounds the delta count.
+    */
+  def pendingView(spark: SparkSession, wave: Int): DataFrame = {
+    val b = latestBase(wave)
+    val base = spark.read.parquet(basePath(b))
+    if (b == wave) base
+    else {
+      val tagged = base.withColumn("_w", lit(b)).withColumn("_term", lit(false)) +:
+        ((b + 1) to wave).flatMap { v =>
+          Seq(readOutcomes(spark, v).withColumn("_w", lit(v))
+                .withColumn("_term", lit(true)),
+              readPendadd(spark, v).withColumn("_w", lit(v))
+                .withColumn("_term", lit(false)))
+        }
+      val all = tagged.reduce(_ unionByName _)
+      val payloadNames = all.columns.filterNot(c =>
+        c == "urlKey" || c == "ckey" || c == "_w")
+      all.groupBy(col("urlKey"), col("ckey"))
+        .agg(max_by(struct(payloadNames.map(col): _*), col("_w")).as("r"))
+        .filter(!col("r._term"))
+        .select(col("urlKey") +: col("ckey") +:
+          payloadNames.filterNot(_ == "_term").map(c => col(s"r.$c")): _*)
+    }
+  }
+
+  /** Full state view (frontier ∪ all finalized rows) — the analytics /
+    * equivalence-test surface; the reference's whole `pages` table.
+    */
+  def readState(spark: SparkSession, wave: Int): DataFrame = {
+    val terminal = (1 to wave).filter(w => exists(outcomesPath(w)))
+      .map(w => readOutcomes(spark, w))
+    (pendingView(spark, wave) +: terminal).reduce(_ unionByName _)
+  }
+
+  /** All urlKeys ever entered (the seen set), as of `wave`. */
+  def allKeys(spark: SparkSession, wave: Int): DataFrame = {
+    val dirs = (0 to wave).map(keysPath).filter(exists)
+    spark.read.parquet(dirs: _*)
+  }
+
+  /** Rewrite the pending view as a new base at `wave` (Iceberg
+    * `rewrite_data_files` analogue) — amortized O(pending).
+    */
+  def compact(spark: SparkSession, wave: Int): Unit = {
+    val tmp = s"${baseRoot(wave)}_tmp/pending"
+    pendingView(spark, wave).write.mode(SaveMode.Overwrite).parquet(tmp)
+    Files.move(Paths.get(s"${baseRoot(wave)}_tmp"), Paths.get(baseRoot(wave)),
+      StandardCopyOption.ATOMIC_MOVE)
+  }
 
   /** Maintenance (entry point C, /root/reference/script1.py:11-19 VACUUM
-    * analogue): drop state snapshots older than the latest `keepLast`
-    * waves. Article outputs are an append log and are always kept; the
-    * `_LATEST` pointer is untouched, so resume semantics survive.
+    * analogue): drop superseded pending bases and the pendadd deltas the
+    * newest base already folds in. Outcomes/keys/articles are append
+    * logs and always kept; `_LATEST` is untouched, so resume survives.
     */
-  def expireSnapshots(keepLast: Int): Int = {
+  def expireSnapshots(keepLast: Int = 0): Int = {
     val latest = latestWave().getOrElse(return 0)
+    val newestBase = latestBase(latest)
     var removed = 0
-    for (w <- 0 to latest - keepLast) {
-      val p = Paths.get(statePath(w))
-      if (Files.exists(p)) {
-        deleteRecursively(p)
-        removed += 1
-      }
+    for (w <- 0 until newestBase; if exists(basePath(w))) {
+      deleteRecursively(Paths.get(baseRoot(w))); removed += 1
+    }
+    for (w <- 1 to newestBase; if exists(pendaddPath(w))) {
+      deleteRecursively(Paths.get(pendaddPath(w))); removed += 1
     }
     removed
   }
@@ -99,7 +207,7 @@ class FrontierStore(val root: String) {
 
   /** All articles up to and including `wave` (append-log union). */
   def readArticles(spark: SparkSession, wave: Int): Option[DataFrame] = {
-    val dirs = (0 to wave).map(articlesPath).filter(d => Files.exists(Paths.get(d)))
+    val dirs = (0 to wave).map(articlesPath).filter(exists)
     if (dirs.isEmpty) None else Some(spark.read.parquet(dirs: _*))
   }
 }

@@ -31,10 +31,20 @@ object PageParse {
     val html = new String(htmlBytes, StandardCharsets.UTF_8)
     if (html.length < 200) return Empty // crawler.py:132
     val domain = UrlOps.getPrincipalDomain(url)
-    val e = graft.extract.ArticleExtractor.extractStr(html, url, domain, isWebnews)
-    Parsed(e.title, e.text, e.inLinks, e.isNewsMeta, e.publishDate,
-      e.authors, e.videos, e.sections, e.topImage, e.canonicalLink,
-      e.language)
+    // Per-row error containment: the reference's lxml is a recovering
+    // parser that never throws on malformed web HTML
+    // (extractor.py:49-71 tolerates arbitrary input); this engine's
+    // strict Dom.parse raises on mismatched tags. One bad page must
+    // degrade to "no extraction, no links" — like the <200-char gate —
+    // not fail the Spark task and abort the crawl wave.
+    try {
+      val e = graft.extract.ArticleExtractor.extractStr(html, url, domain, isWebnews)
+      Parsed(e.title, e.text, e.inLinks, e.isNewsMeta, e.publishDate,
+        e.authors, e.videos, e.sections, e.topImage, e.canonicalLink,
+        e.language)
+    } catch {
+      case scala.util.control.NonFatal(_) => Empty
+    }
   }
 }
 

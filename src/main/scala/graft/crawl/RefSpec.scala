@@ -62,6 +62,7 @@ object RefSpec {
         }
         // deterministic processing order for discovery bookkeeping
         val ordered = waveSet.sortBy { case (r, rk) => (r.hostRank, rk) }
+        val waveKeys = waveSet.map(_._1.ckey).toSet
 
         // wave-local discovery dedup: first (parentRank, linkIdx) wins
         val candidates = mutable.LinkedHashMap.empty[String, SpecRow]
@@ -85,10 +86,22 @@ object RefSpec {
                 r.status = Status.Redirected
                 r.urlToRefer = redirectTo
                 val ck = ckeyOf(redirectTo)
-                if (!state.contains(ck) && !candidates.contains(ck))
-                  candidates(ck) = SpecRow(redirectTo, ck, r.host, r.hostRank,
-                    NewsUrl.isNewsUrl(redirectTo), wave, rk, -1,
-                    Status.Fetched, 0, wave, -1L)
+                state.get(ck) match {
+                  case Some(t) =>
+                    // already-known pending target: upgraded to Fetched
+                    // without a refetch (reference UPDATE … WHERE url=?
+                    // AND scraped=0, crawler.py:145-149); a target
+                    // scheduled THIS wave keeps its own fetch outcome
+                    if (t.status == Status.Pending && !waveKeys.contains(ck)) {
+                      t.status = Status.Fetched
+                      t.fetchWave = wave
+                    }
+                  case None =>
+                    if (!candidates.contains(ck))
+                      candidates(ck) = SpecRow(redirectTo, ck, r.host, r.hostRank,
+                        NewsUrl.isNewsUrl(redirectTo), wave, rk, -1,
+                        Status.Fetched, 0, wave, -1L)
+                }
               }
               parsed.links.zipWithIndex.foreach { case (link, li) =>
                 val ck = ckeyOf(link)

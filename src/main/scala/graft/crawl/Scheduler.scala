@@ -24,10 +24,12 @@ import scala.collection.mutable
   */
 object Scheduler {
 
-  /** Narrow scheduling row (state row minus article/bookkeeping payload). */
+  /** Narrow scheduling row (state row minus article/bookkeeping payload;
+    * `attempts` rides along for the retry fold — P12).
+    */
   case class SchedRow(urlKey: Long, ckey: String, url: String, host: String,
                       hostRank: Int, isWebnews: Boolean, discWave: Int,
-                      parentRank: Long, linkIdx: Int)
+                      parentRank: Long, linkIdx: Int, attempts: Int)
 
   /** priority tuple: smaller = schedule first */
   private def prio(r: SchedRow): (Int, Int, Long, Int, Long) =
@@ -42,7 +44,8 @@ object Scheduler {
     val spark = eligible.sparkSession
     import spark.implicits._
     val slim = eligible.select($"urlKey", $"ckey", $"url", $"host",
-      $"hostRank", $"isWebnews", $"discWave", $"parentRank", $"linkIdx")
+      $"hostRank", $"isWebnews", $"discWave", $"parentRank", $"linkIdx",
+      $"attempts")
       .as[SchedRow]
 
     // phase 1: per-partition bounded top-B per host (max-heap of the

@@ -63,8 +63,9 @@ case class ArticleRow(
   * (ST5, /root/reference/crawling_tools/crawler.py:102-106).
   */
 case class FetchedPage(urlKey: Long, ckey: String, url: String,
-    host: String, hostRank: Int, scheduledRank: Long, title: String,
-    text: String, language: String, publishDate: String,
+    host: String, hostRank: Int, isWebnews: Boolean, discWave: Int,
+    parentRank: Long, linkIdx: Int, attempts: Int, scheduledRank: Long,
+    title: String, text: String, language: String, publishDate: String,
     authors: Seq[String], videos: Seq[String], sections: Seq[String],
     topImage: String, isWebnewsMeta: Boolean, redirectTo: String,
     links: Seq[String])
