@@ -68,28 +68,43 @@ object Bench {
       .agg(sum("value")).collect()
   }
 
-  /** Steady-state frontier throughput: run `rampWaves` untimed (frontier
-    * fill), then time `measureWaves` more via checkpoint resume. Returns
-    * (urlsFetchedExtracted in the timed waves, sec).
-    */
-  private def crawlBench(cores: Int, webPath: String, webCfg: WebGen.Config,
-                         rampWaves: Int, measureWaves: Int, budget: Int,
-                         tag: String): (Long, Double) = {
-    val spark = session(cores)
-    val store = s"$workRoot/store_$tag"
-    rmrf(store)
-    val cfg = CrawlJob.Config(
+  private def benchCfg(webPath: String, store: String,
+                       webCfg: WebGen.Config, budget: Int): CrawlJob.Config =
+    CrawlJob.Config(
       pagesPath = webPath, storeRoot = store,
       seeds = WebGen.seeds(webCfg),
-      hostBudget = budget, cachePages = false, lean = true)
+      hostBudget = budget, cachePages = false, lean = true,
+      expectedTotalUrls = webCfg.nPages * 3,
+      compactEvery = 0) // explicit compact at end-of-ramp instead
+
+  private def copyDir(src: String, dst: String): Unit = {
+    import java.nio.file._
+    val s = Paths.get(src); val d = Paths.get(dst)
+    Files.walk(s).forEach { p =>
+      val t = d.resolve(s.relativize(p))
+      if (Files.isDirectory(p)) Files.createDirectories(t)
+      else Files.copy(p, t, StandardCopyOption.REPLACE_EXISTING)
+    }
+  }
+
+  /** Timed steady-state resume: continue `measureWaves` waves from a
+    * copied ramp store. Both parallelism levels start from the IDENTICAL
+    * committed state, so they do the same work on the same input — the
+    * sandbox substitute for the same job on N vs 4N executor clusters.
+    * Returns (urlsFetchedExtracted in the timed waves, sec).
+    */
+  private def timedResume(cores: Int, webPath: String, store: String,
+                          webCfg: WebGen.Config, measureWaves: Int,
+                          budget: Int): (Long, Double) = {
+    val spark = session(cores)
+    val cfg = benchCfg(webPath, store, webCfg, budget)
+    val fs = new FrontierStore(store)
+    val rampWave = fs.latestWave().get
     warmRead(spark, webPath)
     System.gc() // pay the full STW collection here, not mid-measurement
-    val rampWave = CrawlJob.run(spark, cfg, stopAfterWaves = rampWaves)
-    System.gc()
     val t0 = System.nanoTime()
     val finalWave = CrawlJob.run(spark, cfg, stopAfterWaves = measureWaves)
     val sec = (System.nanoTime() - t0) / 1e9
-    val fs = new FrontierStore(store)
     val fetched = ((rampWave + 1) to finalWave).map { w =>
       val p = fs.articlesPath(w)
       if (java.nio.file.Files.exists(java.nio.file.Paths.get(p)))
@@ -100,10 +115,10 @@ object Bench {
     (fetched, sec)
   }
 
-  /** Bench geometry: many medium hosts + a 10% mega-host. The politeness
-    * budget stays a real bound per host while waves grow large enough
-    * (hundreds of thousands of pages) for parallel work to dominate the
-    * per-wave planning floor.
+  /** Bench geometry: 512 near-even hosts + a 5% mega-host (skew probe).
+    * The per-host budget makes the measured waves FLAT at
+    * ~budget × nHosts pages — large enough that parallel fetch+extract
+    * work dominates the per-wave planning floor at both core counts.
     */
   private lazy val cpusEnv = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
 
@@ -111,15 +126,15 @@ object Bench {
     // size the web to the machine: the quarter-cores run must finish its
     // measured waves in minutes even at small core counts
     nPages = sys.env.get("SPARK_GRAFT_BENCH_PAGES").map(_.toLong)
-      .getOrElse(math.max(100000L, 37500L * cpusEnv)),
+      .getOrElse(math.max(100000L, 75000L * cpusEnv)),
     nHosts = sys.env.getOrElse("SPARK_GRAFT_BENCH_HOSTS", "512").toInt,
-    megaShare = 0.1)
+    megaShare = 0.05)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = cpusEnv
-    val waves = sys.env.getOrElse("SPARK_GRAFT_BENCH_WAVES", "6").toInt
-    val budget = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET", "8000").toInt
+    val waves = sys.env.getOrElse("SPARK_GRAFT_BENCH_WAVES", "8").toInt
+    val budget = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET", "1000").toInt
 
     val headline = Seq(
       "q01_pricing_summary", "q05_join_agg", "q08_exact_dedup",
@@ -144,19 +159,36 @@ object Bench {
     // joins, codegen) so neither timed run pays first-run compilation
     val warmCfg = WebGen.Config(nPages = 20000, nHosts = 16)
     val warmPath = s"$workRoot/warm_web"
-    rmrf(warmPath)
+    val warmStore = s"$workRoot/store_warm"
+    rmrf(warmPath); rmrf(warmStore)
     val sw = session(cpus)
     WebGen.writeTable(sw, warmCfg, warmPath)
     warmParse(sw, webPath)
+    CrawlJob.run(sw, benchCfg(warmPath, warmStore, warmCfg, budget),
+      stopAfterWaves = 5)
     sw.stop()
-    crawlBench(cpus, warmPath, warmCfg, rampWaves = 3, measureWaves = 2,
-      budget = budget, tag = "warm")
 
+    // shared ramp at full cores: fill the frontier to its flat-wave
+    // steady state ONCE, compact, then copy the committed store so both
+    // timed runs resume from identical state
     val ramp = math.max(1, waves - 3)
-    val (fetched4, sec4) = crawlBench(cpus, webPath, benchWebCfg,
-      ramp, 3, budget, tag = "4n")
-    val (fetched1, sec1) = crawlBench(math.max(1, cpus / 4), webPath, benchWebCfg,
-      ramp, 3, budget, tag = "n")
+    val rampStore = s"$workRoot/store_ramp"
+    rmrf(rampStore)
+    val sr = session(cpus)
+    warmRead(sr, webPath)
+    val rampWave = CrawlJob.run(sr,
+      benchCfg(webPath, rampStore, benchWebCfg, budget),
+      stopAfterWaves = ramp)
+    new FrontierStore(rampStore).compact(sr, rampWave)
+    sr.stop()
+    val store4 = s"$workRoot/store_4n"; val store1 = s"$workRoot/store_n"
+    rmrf(store4); rmrf(store1)
+    copyDir(rampStore, store4); copyDir(rampStore, store1)
+
+    val (fetched4, sec4) = timedResume(cpus, webPath, store4,
+      benchWebCfg, 3, budget)
+    val (fetched1, sec1) = timedResume(math.max(1, cpus / 4), webPath, store1,
+      benchWebCfg, 3, budget)
 
     val thr4 = fetched4 / sec4
     val thr1 = fetched1 / sec1

@@ -160,10 +160,12 @@ object SparkEntry {
       Similarity.bruteForceTopK(t(s, dir, "embeddings"), "vec_id", "embedding",
         $"vec_id" < 10, k = 5)),
 
-    // Training-data: SimHash near-dup pairs (rows-only; custom hash)
+    // Training-data: SimHash near-dup pairs (rows-only; multi-band
+    // blocking with recall=1 within maxHamming — OperatorsSpec asserts
+    // exact agreement with brute force)
     "q15_simhash_pairs" -> ((s, dir) =>
       Dedup.simHashPairs(t(s, dir, "documents"), "doc_id", "text",
-        maxHamming = 16, blockBits = 4)),
+        maxHamming = 8)),
 
     // Training-data: MinHash+LSH near-dup candidates (rows-only)
     "q16_minhash_lsh" -> ((s, dir) =>
@@ -251,10 +253,14 @@ object SparkEntry {
         "embedding", dim = 64, bits = 4, threshold = 0.2)),
 
     // Article extraction as a queryable operator over a deterministic
-    // synthetic web (rows-only; byte-identity is covered by sbt test)
+    // synthetic web SIZED BY the scale-factor dir (rows-only;
+    // byte-identity is covered by sbt test). lineitem's row count is the
+    // dir's true sf proxy (documents stays ~constant across sf).
     "q24_article_extract" -> ((s, dir) => {
       import s.implicits._
-      val cfg = graft.synth.WebGen.Config(nPages = 2000, nHosts = 4)
+      val sfRows = t(s, dir, "lineitem").count()
+      val cfg = graft.synth.WebGen.Config(
+        nPages = math.max(2000L, sfRows / 10), nHosts = 4)
       s.range(cfg.nPages).mapPartitions { it =>
         it.map { i =>
           val (url, _, html, _, _) = graft.synth.WebGen.rowAt(cfg, i)

@@ -49,14 +49,26 @@ class FrontierStore(val root: String) {
   private def waveDir(w: Int): String = f"$root/wave_$w%05d"
   private def baseRoot(w: Int): String = f"$root/base_$w%05d"
 
-  def outcomesPath(w: Int): String = s"${waveDir(w)}/outcomes"
-  def pendaddPath(w: Int): String = s"${waveDir(w)}/pendadd"
-  def keysPath(w: Int): String = s"${waveDir(w)}/keys"
+  def deltaPath(w: Int): String = s"${waveDir(w)}/delta"
+  def outcomesPath(w: Int): String = s"${deltaPath(w)}/_kind=o"
+  def pendaddPath(w: Int): String = s"${deltaPath(w)}/_kind=p"
+  def keysPath(w: Int): String = s"${deltaPath(w)}/_kind=k"
   def articlesPath(w: Int): String = s"${waveDir(w)}/articles"
   def basePath(w: Int): String = s"${baseRoot(w)}/pending"
   def bloomDir: String = s"$root/bloom"
 
   private def exists(p: String): Boolean = Files.exists(Paths.get(p))
+
+  /** Null-padded key rows so the keys append shares the delta schema
+    * (they compress to ~nothing in parquet, and the single partitioned
+    * write keeps the wave commit at ONE Spark job).
+    */
+  private def padKeys(keys: DataFrame, like: DataFrame): DataFrame = {
+    val schema = like.schema
+    keys.select(col("urlKey") +: schema.fields.toIndexedSeq
+      .filter(_.name != "urlKey")
+      .map(f => lit(null).cast(f.dataType).as(f.name)): _*)
+  }
 
   /** Wave-0 commit: the seed rows become the first pending base and the
     * first keys append (main.py:11-13 seed dedup happened upstream).
@@ -65,27 +77,34 @@ class FrontierStore(val root: String) {
                  metrics: WaveMetrics,
                  preCommit: () => Unit = () => ()): Unit = {
     init.write.mode(SaveMode.Overwrite).parquet(basePath(0))
-    init.select("urlKey").write.mode(SaveMode.Overwrite).parquet(keysPath(0))
+    padKeys(init.select("urlKey"), init)
+      .withColumn("_kind", lit("k"))
+      .write.partitionBy("_kind").mode(SaveMode.Overwrite).parquet(deltaPath(0))
     preCommit()
     writeManifest(0, metrics, lineage = "{}")
     markLatest(0)
   }
 
+  /** The wave commit is a SINGLE partitioned write (outcomes ∪ pendadd ∪
+    * padded keys, split by `_kind` at the file level — no shuffle) plus
+    * the articles append: two Spark jobs total, each O(wave).
+    */
   def commitWave(spark: SparkSession, wave: Int, outcomes: DataFrame,
                  pendadd: DataFrame, keys: DataFrame,
                  articles: Option[DataFrame], metrics: WaveMetrics,
                  withLineage: Boolean = true,
                  preCommit: () => Unit = () => ()): Unit = {
-    outcomes.write.mode(SaveMode.Overwrite).parquet(outcomesPath(wave))
-    pendadd.write.mode(SaveMode.Overwrite).parquet(pendaddPath(wave))
-    keys.write.mode(SaveMode.Overwrite).parquet(keysPath(wave))
+    outcomes.withColumn("_kind", lit("o"))
+      .unionByName(pendadd.withColumn("_kind", lit("p")))
+      .unionByName(padKeys(keys, outcomes).withColumn("_kind", lit("k")))
+      .write.partitionBy("_kind").mode(SaveMode.Overwrite).parquet(deltaPath(wave))
     articles.foreach(_.write.mode(SaveMode.Overwrite).parquet(articlesPath(wave)))
     preCommit() // Bloom update: superset-safe before _LATEST
     // per-partition lineage of THIS wave's delta (re-read from disk so the
     // manifest describes the committed bytes) — O(wave), not O(state)
-    val lineage = if (!withLineage) "{}" else
-      readOutcomes(spark, wave).select("urlKey")
-        .unionByName(readPendadd(spark, wave).select("urlKey"))
+    val deltaDirs = Seq(outcomesPath(wave), pendaddPath(wave)).filter(exists)
+    val lineage = if (!withLineage || deltaDirs.isEmpty) "{}" else
+      spark.read.parquet(deltaDirs: _*).select("urlKey")
         .groupBy(pmod(col("urlKey"), lit(16)).as("shard"))
         .agg(count(lit(1)).as("rows"))
         .collect().map(r => s""""${r.getLong(0)}": ${r.getLong(1)}""")
@@ -140,10 +159,14 @@ class FrontierStore(val root: String) {
     else {
       val tagged = base.withColumn("_w", lit(b)).withColumn("_term", lit(false)) +:
         ((b + 1) to wave).flatMap { v =>
-          Seq(readOutcomes(spark, v).withColumn("_w", lit(v))
-                .withColumn("_term", lit(true)),
-              readPendadd(spark, v).withColumn("_w", lit(v))
-                .withColumn("_term", lit(false)))
+          (if (exists(outcomesPath(v)))
+            Seq(readOutcomes(spark, v).withColumn("_w", lit(v))
+              .withColumn("_term", lit(true)))
+          else Nil) ++
+          (if (exists(pendaddPath(v)))
+            Seq(readPendadd(spark, v).withColumn("_w", lit(v))
+              .withColumn("_term", lit(false)))
+          else Nil)
         }
       val all = tagged.reduce(_ unionByName _)
       val payloadNames = all.columns.filterNot(c =>

@@ -63,7 +63,20 @@ object Dedup {
   def minHashLsh(docs: DataFrame, idCol: String, textCol: String,
                  numHashes: Int = 16, bands: Int = 4,
                  shingleSize: Int = 3, threshold: Double = 0.5): DataFrame = {
-    val sigs = minHashSignatures(docs, idCol, textCol, numHashes, shingleSize)
+    // shingle the corpus ONCE and persist: signatures, banding and the
+    // pair-verify all derive from this projection (tokenizing three times
+    // was the dominant cost of the operator)
+    val shArr = docs
+      .select(col(idCol).cast("long").as("doc_id"),
+        TextOps.tokens(col(textCol)).as("toks"))
+      .select($"doc_id",
+        array_distinct(TextOps.shingles($"toks", shingleSize)).as("sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val mins = (0 until numHashes).map { i =>
+      min(xxhash64($"shingle", lit(i))).as(s"m$i")
+    }
+    val sigs = shArr.select($"doc_id", explode($"sh").as("shingle"))
+      .groupBy($"doc_id").agg(mins.head, mins.tail: _*)
     val rowsPerBand = numHashes / bands
     val bandCols = (0 until bands).map { bIdx =>
       val cols = (0 until rowsPerBand).map(r => col(s"m${bIdx * rowsPerBand + r}"))
@@ -80,11 +93,6 @@ object Dedup {
     // verify ONLY candidate pairs: per-pair shingle-set intersection via
     // array ops — never the all-pairs shingle join (which at corpus scale
     // is exactly the quadratic blowup LSH exists to avoid)
-    val shArr = docs
-      .select(col(idCol).cast("long").as("doc_id"),
-        TextOps.tokens(col(textCol)).as("toks"))
-      .select($"doc_id",
-        array_distinct(TextOps.shingles($"toks", shingleSize)).as("sh"))
     cand
       .join(shArr.select($"doc_id".as("doc_a"), $"sh".as("sh_a")), Seq("doc_a"))
       .join(shArr.select($"doc_id".as("doc_b"), $"sh".as("sh_b")), Seq("doc_b"))
@@ -165,18 +173,40 @@ object Dedup {
     agg.select($"doc_id", hash.as("simhash"))
   }
 
-  /** SimHash near-dup pairs: block on the top `blockBits` bits (near-dups
-    * almost always agree there), verify with bit_count(xor) ≤ maxHamming.
+  /** SimHash near-dup pairs with a RECALL GUARANTEE: multi-band
+    * (pigeonhole) blocking. The 64 signature bits split into
+    * `maxHamming + 1` contiguous bands — two hashes within Hamming
+    * distance ≤ maxHamming differ in at most maxHamming bands, so AT
+    * LEAST ONE band matches exactly and the pair is generated. The
+    * bucket join per band is the blocking step; bit_count(xor) verifies.
+    * Recall = 1 by construction (asserted against brute force in
+    * OperatorsSpec); cost = bands × one bucket-local self-join, never
+    * all-pairs.
     */
   def simHashPairs(docs: DataFrame, idCol: String, textCol: String,
-                   maxHamming: Int = 8, blockBits: Int = 12): DataFrame = {
+                   maxHamming: Int = 3): DataFrame = {
+    val bands = maxHamming + 1
     val h = simHash(docs, idCol, textCol)
-      .withColumn("blk", shiftrightunsigned($"simhash", 64 - blockBits))
-    h.as("a").join(h.as("b"),
-        col("a.blk") === col("b.blk") && col("a.doc_id") < col("b.doc_id"))
-      .withColumn("hamming", bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))))
-      .filter($"hamming" <= maxHamming)
+    // band j covers bits [lo_j, lo_j + w_j): widths differ by ≤1 and
+    // partition all 64 bits exactly
+    val bandCols = (0 until bands).map { j =>
+      val w = 64 / bands + (if (j < 64 % bands) 1 else 0)
+      val lo = (0 until j).map(i => 64 / bands + (if (i < 64 % bands) 1 else 0)).sum
+      val mask = if (w == 64) -1L else (1L << w) - 1L
+      struct(lit(j).as("band_idx"),
+        shiftrightunsigned($"simhash", lo).bitwiseAND(lit(mask)).as("band_val"))
+    }
+    val banded = h.select($"doc_id", $"simhash",
+        explode(array(bandCols: _*)).as("band"))
+      .select($"doc_id", $"simhash", $"band.band_idx", $"band.band_val")
+    banded.as("a").join(banded.as("b"),
+        col("a.band_idx") === col("b.band_idx") &&
+        col("a.band_val") === col("b.band_val") &&
+        col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        $"hamming".cast("long").as("hamming"))
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash")))
+          .cast("long").as("hamming"))
+      .filter($"hamming" <= maxHamming)
+      .distinct()
   }
 }

@@ -9,9 +9,10 @@ import org.apache.spark.sql.expressions.Window
   *
   * Two tiers:
   *  - [[bruteForceTopK]] — exact cosine top-k; the correctness baseline.
-  *    O(|Q|·|N|) dot products but fully codegen'd (zip_with + aggregate,
-  *    no UDF) and broadcast-joined when |Q| is small, so the big side
-  *    streams with zero shuffle.
+  *    O(|Q|·|N|) dot products through the native primitive-array kernel
+  *    [[graft.functions.VectorExpressions]] (whole-stage codegen — HOF
+  *    lambdas would run interpreted) and broadcast-joined when |Q| is
+  *    small, so the big side streams with zero shuffle.
   *  - [[lshTopK]] — random-hyperplane LSH: b sign-bits bucket the corpus;
   *    queries probe only their own bucket (plus optional multi-probe via
   *    fewer bits). At 100 TB the bucket join shuffles each side once on
@@ -22,11 +23,11 @@ object Similarity {
   /** embedding (array<float|double>) → array<double> plus L2 norm. */
   def withNorm(df: DataFrame, idCol: String, embCol: String): DataFrame =
     df.select(col(idCol).cast("long").as("vec_id"),
-        transform(col(embCol), x => x.cast("double")).as("v"))
-      .withColumn("nrm", sqrt(aggregate($"v", lit(0.0), (acc, x) => acc + x * x)))
+        col(embCol).cast("array<double>").as("v"))
+      .withColumn("nrm", graft.functions.VectorExpressions.l2norm($"v"))
 
   private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, _ * _), lit(0.0), _ + _)
+    graft.functions.VectorExpressions.dot(a, b)
 
   /** Exact cosine top-k of each query vector against the corpus (self
     * excluded). Query side is broadcast (small by construction).
@@ -48,62 +49,77 @@ object Similarity {
   }
 
   /** Random-hyperplane signature: `bits` sign bits, hyperplane h_j
-    * derived deterministically from xxhash64(j, dim-index) mapped to
-    * ±1 components (a dense Rademacher projection — standard SimHash-for-
-    * cosine construction, no stored model).
+    * derived deterministically from a splitmix of (table, j, dim-index)
+    * mapped to ±1 components (a dense Rademacher projection — standard
+    * SimHash-for-cosine construction, no stored model). `table` selects
+    * an INDEPENDENT hyperplane family for multi-table LSH. Delegates to
+    * the single-pass primitive kernel (per-element Catalyst expansion
+    * overflows Janino's method-size limit at realistic dims).
     */
-  def planeSignature(v: Column, dim: Int, bits: Int): Column = {
-    val bitCols = (0 until bits).map { j =>
-      // s_j = sum_i sign(h(j,i)) * v_i ;  bit_j = s_j >= 0
-      val s = (0 until dim).map { i =>
-        val sgn = if (rademacher(j, i)) 1.0 else -1.0
-        element_at(v, i + 1) * lit(sgn)
-      }.reduce(_ + _)
-      when(s >= 0, lit(1L << j)).otherwise(lit(0L))
-    }
-    bitCols.reduce(_ + _)
-  }
+  def planeSignature(v: Column, dim: Int, bits: Int, table: Int = 0): Column =
+    element_at(graft.functions.VectorExpressions.plane_sigs(
+      v, dim, bits, table + 1), table + 1)
 
-  /** Deterministic pseudo-random sign for hyperplane j, dimension i
-    * (splitmix64 finalizer over (j<<32|i) — public-domain mix function).
+  /** exploded (table_idx, signature) rows for `tables` independent
+    * hash tables — the multi-table LSH index. A pair within cosine angle
+    * θ collides in one table with p^bits (p = 1 − θ/π); across L tables
+    * the miss probability decays to (1 − p^bits)^L — the recall knob
+    * that a single table lacks. All signatures come from ONE primitive
+    * kernel pass ([[graft.functions.VectorExpressions.plane_sigs]]).
     */
-  private[operators] def rademacher(j: Int, i: Int): Boolean = {
-    var z = (j.toLong << 32) | (i.toLong & 0xffffffffL)
-    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
-    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
-    z = z ^ (z >>> 31)
-    (z & 1L) == 0L
-  }
+  private def withTables(n: DataFrame, dim: Int, bits: Int,
+                         tables: Int): DataFrame =
+    n.select($"vec_id", $"v", $"nrm",
+        posexplode(graft.functions.VectorExpressions.plane_sigs(
+          $"v", dim, bits, tables)).as(Seq("tbl", "sig")))
 
-  /** Embedding-cosine near-duplicate pairs: random-hyperplane buckets
-    * block the corpus, exact cosine verifies within-bucket pairs — the
-    * embedding-space member of the dedup family (complements MinHash/
-    * SimHash text dedup). Output (id_a < id_b, sim ≥ threshold).
+  /** Embedding-cosine near-duplicate pairs: multi-table random-hyperplane
+    * buckets block the corpus, exact cosine verifies within-bucket
+    * pairs — the embedding-space member of the dedup family (complements
+    * MinHash/SimHash text dedup). Output (id_a < id_b, sim ≥ threshold).
+    *
+    * Shuffle profile at scale: tables × one bucket-keyed self-join over
+    * (tbl, sig) — never all-pairs; the pair-dedup and the exact verify
+    * touch only colliding candidates. Recall quantified in OperatorsSpec.
     */
   def cosineNearDupPairs(corpus: DataFrame, idCol: String, embCol: String,
-                         dim: Int, bits: Int, threshold: Double): DataFrame = {
+                         dim: Int, bits: Int, threshold: Double,
+                         tables: Int = 16): DataFrame = {
     val n = withNorm(corpus, idCol, embCol)
-      .withColumn("sig", planeSignature($"v", dim, bits))
-    n.as("a").join(n.as("b"),
-        col("a.sig") === col("b.sig") && col("a.vec_id") < col("b.vec_id"))
-      .withColumn("sim", round(
-        dot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm")), 9))
+    val t = withTables(n, dim, bits, tables)
+    val candidates = t.as("a").join(t.as("b"),
+        col("a.tbl") === col("b.tbl") && col("a.sig") === col("b.sig") &&
+        col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))
+      .distinct()
+    candidates
+      .join(n.select($"vec_id".as("id_a"), $"v".as("va"), $"nrm".as("na")), Seq("id_a"))
+      .join(n.select($"vec_id".as("id_b"), $"v".as("vb"), $"nrm".as("nb")), Seq("id_b"))
+      .withColumn("sim", round(dot($"va", $"vb") / ($"na" * $"nb"), 9))
       .filter($"sim" >= threshold)
-      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"), $"sim")
+      .select($"id_a", $"id_b", $"sim")
   }
 
-  /** LSH-bucketed approximate top-k: join query and corpus on the
-    * signature bucket, rank within bucket. Recall < 1 by construction;
-    * `bits` trades recall vs bucket size.
+  /** Multi-table LSH approximate top-k: queries probe their bucket in
+    * each of `tables` independent hash tables; the candidate union is
+    * ranked by exact cosine. `bits` trades bucket size vs per-table
+    * recall; `tables` drives the union's recall toward 1 (quantified in
+    * OperatorsSpec vs bruteForceTopK).
     */
   def lshTopK(corpus: DataFrame, idCol: String, embCol: String,
-              queryPred: Column, k: Int, dim: Int, bits: Int): DataFrame = {
+              queryPred: Column, k: Int, dim: Int, bits: Int,
+              tables: Int = 8): DataFrame = {
     val n = withNorm(corpus, idCol, embCol)
-      .withColumn("sig", planeSignature($"v", dim, bits))
-    val q = n.filter(queryPred)
-      .select($"vec_id".as("qid"), $"v".as("qv"), $"nrm".as("qn"), $"sig")
-    val scored = n.join(q, Seq("sig"), "inner")
+    val t = withTables(n, dim, bits, tables)
+    val q = t.filter(queryPred)
+      .select($"vec_id".as("qid"), $"tbl", $"sig")
+    val candidates = t.join(q, Seq("tbl", "sig"), "inner")
       .filter($"vec_id" =!= $"qid")
+      .select($"qid", $"vec_id").distinct()
+    val qv = n.select($"vec_id".as("qid"), $"v".as("qv"), $"nrm".as("qn"))
+    val scored = candidates
+      .join(n, Seq("vec_id"))
+      .join(qv, Seq("qid"))
       .withColumn("sim", dot($"qv", $"v") / ($"qn" * $"nrm"))
     val w = Window.partitionBy($"qid").orderBy($"sim".desc, $"vec_id".asc)
     scored.withColumn("rank", row_number().over(w))

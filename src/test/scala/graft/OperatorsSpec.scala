@@ -50,11 +50,68 @@ class OperatorsSpec extends AnyFunSuite {
     assert(sigs.head.length === 17)
   }
 
-  test("simhash pairs are symmetric-free (a<b) and hamming-bounded") {
-    val pairs = Dedup.simHashPairs(docs, "doc_id", "text",
-      maxHamming = 16, blockBits = 4).collect()
+  test("simhash multi-band blocking has EXACT recall vs brute-force Hamming") {
+    val h = 8
+    val pairs = Dedup.simHashPairs(docs, "doc_id", "text", maxHamming = h)
+      .collect()
     assert(pairs.forall(r => r.getLong(0) < r.getLong(1)))
-    assert(pairs.forall(r => r.getLong(2) <= 16))
+    assert(pairs.forall(r => r.getLong(2) <= h))
+    // brute-force ground truth over all simhash pairs
+    val hs = Dedup.simHash(docs, "doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val truth = (for {
+      (ia, ha) <- hs; (ib, hb) <- hs
+      if ia < ib && java.lang.Long.bitCount(ha ^ hb) <= h
+    } yield (ia, ib)).toSet
+    val got = pairs.map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === truth) // pigeonhole bands: recall = 1, no extras
+  }
+
+  test("minhash LSH recall ≥ 0.8 against exact Jaccard ground truth") {
+    val lsh = Dedup.minHashLsh(docs, "doc_id", "text",
+      numHashes = 16, bands = 8, shingleSize = 2, threshold = 0.2)
+      .select($"doc_a", $"doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val truth = Dedup.jaccardOf(docs, "doc_id", "text", 2)
+      .filter($"jaccard" >= 0.2)
+      .select($"doc_a", $"doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(truth.nonEmpty)
+    val recall = lsh.intersect(truth).size.toDouble / truth.size
+    assert(recall >= 0.8, s"minhash LSH recall $recall < 0.8")
+  }
+
+  test("embedding near-dup LSH recall ≥ 0.6 vs exact cosine pairs") {
+    val approx = Similarity.cosineNearDupPairs(emb, "vec_id", "embedding",
+      dim = 64, bits = 4, threshold = 0.2)
+      .select($"id_a", $"id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // exact ground truth: all-pairs cosine (test-scale only)
+    val n = Similarity.withNorm(emb, "vec_id", "embedding")
+    val truth = n.as("a").join(n.as("b"),
+        col("a.vec_id") < col("b.vec_id"))
+      .withColumn("sim",
+        graft.functions.VectorExpressions.dot(col("a.v"), col("b.v")) /
+          (col("a.nrm") * col("b.nrm")))
+      .filter($"sim" >= 0.2)
+      .select(col("a.vec_id"), col("b.vec_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(truth.nonEmpty)
+    val recall = approx.intersect(truth).size.toDouble / truth.size
+    assert(recall >= 0.6, s"cosine LSH recall $recall < 0.6")
+  }
+
+  test("ANN LSH top-k recall ≥ 0.5 vs brute-force top-k") {
+    val k = 3
+    val truth = Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+      col("vec_id") < 20, k).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Similarity.lshTopK(emb, "vec_id", "embedding",
+      col("vec_id") < 20, k = k, dim = 64, bits = 4)
+      .select($"qid", $"nid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = approx.intersect(truth).size.toDouble / truth.size
+    assert(recall >= 0.5, s"ANN LSH recall $recall < 0.5")
   }
 
   test("brute-force cosine topk: k per query, self excluded, ranks 1..k") {
