@@ -128,7 +128,9 @@ object SparkEntry {
         TextOps.stopwordRatio(toks, Seq("the", "a")).as("stop_ratio"))
     }),
 
-    // Training-data: rolling-hash document fingerprint (UDF; rows-only)
+    // Training-data: document fingerprints — Rabin-Karp rolling hash
+    // (base 257 mod 2^61-1, oracle-exact via DuckDB HUGEINT list_reduce)
+    // + md5 content hash
     "q11_fingerprint" -> ((s, dir) => {
       val rh = udf((x: String) => TextOps.rollingHash(x))
       t(s, dir, "documents").select($"doc_id", rh($"text").as("rh"),
@@ -236,14 +238,14 @@ object SparkEntry {
           $"resized_bytes")
     }),
 
-    // Multimodal: byte-level feature extraction (rows-only; double entropy)
+    // Multimodal: byte-histogram entropy over opaque binary payloads
+    // (text bytes as the deterministic payload — oracle-exact after
+    // rounding; the fake-image decode path is oracle-covered by q22)
     "q23_media_entropy" -> ((s, dir) => {
-      val enc = udf((id: Long) => Multimodal.encodeFakeImage(
-        8 + (id % 8).toInt, 8 + (id % 5).toInt, id))
       val payloads = t(s, dir, "documents")
-        .select($"doc_id", enc($"doc_id").as("payload"))
+        .select($"doc_id", $"text".cast("binary").as("payload"))
       Multimodal.features(payloads, "doc_id", "payload").toDF()
-        .select($"id", $"entropy")
+        .select($"id", round($"entropy", 9).as("entropy"))
     }),
 
     // Training-data: embedding-cosine near-dup pairs (rows-only; the
@@ -341,6 +343,15 @@ object SparkEntry {
         |    / len(list_filter(string_split_regex(text, ' +'), x -> len(x) > 0)) AS stop_ratio
         |FROM documents""".stripMargin,
 
+    "q11_fingerprint" ->
+      """SELECT doc_id,
+        |  CAST(list_reduce(
+        |    list_prepend(CAST(0 AS HUGEINT),
+        |      list_transform(string_split(text, ''), c -> CAST(ascii(c) AS HUGEINT))),
+        |    (h, b) -> (h * 257 + b) % 2305843009213693951) AS BIGINT) AS rh,
+        |  md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS text_md5
+        |FROM documents""".stripMargin,
+
     "q12_sessionize" ->
       """WITH e AS (
         |  SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS es FROM events),
@@ -397,6 +408,29 @@ object SparkEntry {
         |  FROM s)
         |SELECT qid, nid, rank FROM r WHERE rank <= 5""".stripMargin,
 
+    "q17_langid" ->
+      """WITH toks AS (
+        |  SELECT doc_id, lang,
+        |    list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS w
+        |  FROM documents),
+        |hits AS (
+        |  SELECT doc_id, lang,
+        |    len(list_filter(w, x -> x IN ('the','and','of','to','in','is','that','with','for','it'))) AS h_en,
+        |    len(list_filter(w, x -> x IN ('el','la','los','las','de','que','y','en','un','una','es'))) AS h_es,
+        |    len(list_filter(w, x -> x IN ('le','la','les','des','du','et','que','est','une','dans'))) AS h_fr,
+        |    len(list_filter(w, x -> x IN ('der','die','das','und','ist','von','mit','den','ein','nicht'))) AS h_de,
+        |    len(list_filter(w, x -> x IN ('il','lo','gli','di','che','e','per','con','del','della'))) AS h_it
+        |  FROM toks)
+        |SELECT doc_id,
+        |  CASE
+        |    WHEN h_en >= h_es AND h_en >= h_fr AND h_en >= h_de AND h_en >= h_it THEN 'en'
+        |    WHEN h_es >= h_fr AND h_es >= h_de AND h_es >= h_it THEN 'es'
+        |    WHEN h_fr >= h_de AND h_fr >= h_it THEN 'fr'
+        |    WHEN h_de >= h_it THEN 'de'
+        |    ELSE 'it' END AS lang_pred,
+        |  lang
+        |FROM hits""".stripMargin,
+
     "q18_binary_stats" ->
       """SELECT doc_id, strlen(text) AS n_bytes,
         |  CAST(ascii(text) AS BIGINT) AS first_byte
@@ -426,6 +460,14 @@ object SparkEntry {
         |  CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS v_sum
         |FROM (SELECT CAST(floor(epoch(ts)) AS BIGINT) AS es, event_type, value FROM events)
         |GROUP BY 1, 2""".stripMargin,
+
+    "q23_media_entropy" ->
+      """WITH chars AS (
+        |  SELECT doc_id, unnest(string_split(text, '')) AS c FROM documents),
+        |freq AS (SELECT doc_id, c, count(*) AS n FROM chars GROUP BY 1, 2),
+        |tot AS (SELECT doc_id, sum(n) AS t FROM freq GROUP BY 1)
+        |SELECT f.doc_id AS id, round(sum(- (n / t) * log2(n / t)), 9) AS entropy
+        |FROM freq f JOIN tot USING (doc_id) GROUP BY f.doc_id""".stripMargin,
 
     "q22_media_meta" ->
       """SELECT doc_id AS id, 'image' AS format,

@@ -173,7 +173,6 @@ object CrawlJob {
       .agg(max_by(struct(joinedCols.map(col): _*),
         coalesce($"warc_ts", to_timestamp(lit("1970-01-01")))).as("r"))
       .select(col("urlKey") +: col("ckey") +: joinedCols.map(c => col(s"r.$c")): _*)
-      .persist(StorageLevel.DISK_ONLY)
 
     // 3. parse (F1-F21 inside PageParse; per-row error containment)
     val parsed = joined.filter($"html".isNotNull)
@@ -269,8 +268,12 @@ object CrawlJob {
         .otherwise(lit(Status.Fetched)).as("status"),
       $"attempts", lit(wave).as("fetchWave"), $"scheduledRank",
       $"redirectTo".as("urlToRefer"))
-    val misses = joined.filter($"html".isNull)
-    val missBase = misses.select($"urlKey", $"ckey", $"url", $"host",
+    // misses = scheduled ∖ parsed, derived from the (small, persisted)
+    // waveSet — so the fetch join's html payload is never materialized
+    // outside the parse stage
+    val missBase = waveSet
+      .join(parsed.select($"urlKey", $"ckey"), Seq("urlKey", "ckey"), "left_anti")
+      .select($"urlKey", $"ckey", $"url", $"host",
       $"hostRank", $"isWebnews", $"discWave", $"parentRank", $"linkIdx",
       ($"attempts" + 1).as("attempts"))
     val failedOut = missBase.filter($"attempts" >= cfg.maxAttempts)
@@ -341,7 +344,7 @@ object CrawlJob {
       pendingAfter = -1) // filled by the caller when not lean
 
     WaveResult(scheduled, outcomes, pendadd, newKeys, articles.toDF(),
-      metrics, Seq(waveSet, joined, parsed, cand, newEntries))
+      metrics, Seq(waveSet, parsed, cand, newEntries))
   }
 
   /** Full crawl (or resume from the latest committed wave). Returns the
@@ -380,6 +383,9 @@ object CrawlJob {
 
     var pending = store.pendingView(spark, wave)
       .persist(StorageLevel.DISK_ONLY)
+    // the previous wave's pending stays cached until the successor is
+    // materialized (the successor's incremental plan reads it)
+    var prevPending: Option[DataFrame] = None
     var wavesRun = 0
     var exhausted = false
     while (!exhausted && wavesRun < stopAfterWaves && wave < cfg.maxWaves) {
@@ -387,6 +393,10 @@ object CrawlJob {
       val seenKeys = store.allKeys(spark, wave)
       val r = runWave(spark, pending, seenKeys, pages, rules, wave, cfg,
         bloom.map(_.probe(wave)))
+      // runWave's first action materialized `pending`; its predecessor
+      // can go now
+      prevPending.foreach(_.unpersist(blocking = false))
+      prevPending = None
       if (r.scheduled == 0) {
         r.cached.foreach(_.unpersist(blocking = false))
         exhausted = true
@@ -396,21 +406,40 @@ object CrawlJob {
           preCommit = () => bloom.foreach(_.update(r.keys)))
         wave += 1
         wavesRun += 1
-        if (cfg.compactEvery > 0 && wave % cfg.compactEvery == 0)
-          store.compact(spark, wave)
-        // incremental pending update: O(wave) removal keys (AQE
-        // broadcasts the small side) — re-read from disk so the plan's
-        // lineage stays bounded and resume-equivalent
-        val np = store.pendingView(spark, wave)
-          .persist(StorageLevel.DISK_ONLY)
+        // incremental pending update over the cached previous view:
+        // broadcast anti-join of the O(wave) removal keys (every key in
+        // this wave's delta leaves or replaces its pending row), then
+        // append the committed pendadd — no O(pending) shuffle. Reads the
+        // COMMITTED delta from disk so the result is bit-equal to a
+        // resume's pendingView reconstruction.
+        val removalDirs = Seq(store.outcomesPath(wave), store.pendaddPath(wave))
+          .filter(p => java.nio.file.Files.exists(java.nio.file.Paths.get(p)))
+        val removals = spark.read.parquet(removalDirs: _*)
+          .select($"urlKey", $"ckey")
+        val npRaw = pending
+          .join(broadcast(removals), Seq("urlKey", "ckey"), "left_anti")
+          .unionByName(
+            if (java.nio.file.Files.exists(
+                java.nio.file.Paths.get(store.pendaddPath(wave))))
+              store.readPendadd(spark, wave)
+            else pending.limit(0))
+        val np =
+          if (cfg.compactEvery > 0 && wave % cfg.compactEvery == 0) {
+            // periodic base rewrite from the incremental view (amortized
+            // O(pending)); the fresh base read resets the cached chain
+            store.compactFrom(npRaw, wave)
+            spark.read.parquet(store.basePath(wave))
+              .persist(StorageLevel.DISK_ONLY)
+          } else npRaw.persist(StorageLevel.DISK_ONLY)
         r.cached.foreach(_.unpersist(blocking = false))
-        pending.unpersist(blocking = false)
+        prevPending = Some(pending)
         pending = np
         System.err.println(f"[crawl] wave ${wave - 1} committed in ${(System.nanoTime() - t0) / 1e9}%.2fs" +
           (if (cfg.lean) ""
            else s" (scheduled=${r.metrics.scheduled} fetched=${r.metrics.fetched} new=${r.metrics.newLinks})"))
       }
     }
+    prevPending.foreach(_.unpersist(blocking = false))
     pending.unpersist(blocking = false)
     if (cfg.cachePages) pages.unpersist(blocking = false)
     wave

@@ -197,9 +197,16 @@ class FrontierStore(val root: String) {
   /** Rewrite the pending view as a new base at `wave` (Iceberg
     * `rewrite_data_files` analogue) — amortized O(pending).
     */
-  def compact(spark: SparkSession, wave: Int): Unit = {
+  def compact(spark: SparkSession, wave: Int): Unit =
+    compactFrom(pendingView(spark, wave), wave)
+
+  /** Compact from an ALREADY-MATERIALIZED pending DataFrame (the crawl
+    * loop's incrementally-maintained view — skips re-deriving it from
+    * the delta chain). Caller guarantees `df` equals pendingView(wave).
+    */
+  def compactFrom(df: DataFrame, wave: Int): Unit = {
     val tmp = s"${baseRoot(wave)}_tmp/pending"
-    pendingView(spark, wave).write.mode(SaveMode.Overwrite).parquet(tmp)
+    df.write.mode(SaveMode.Overwrite).parquet(tmp)
     Files.move(Paths.get(s"${baseRoot(wave)}_tmp"), Paths.get(baseRoot(wave)),
       StandardCopyOption.ATOMIC_MOVE)
   }
