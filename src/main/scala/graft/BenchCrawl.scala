@@ -1,0 +1,110 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+import graft.crawl.{CrawlJob, FrontierStore}
+import graft.synth.WebGen
+
+/** Child-JVM crawl phase for [[Bench]]: one fresh JVM per phase, the
+  * single-box analogue of one spark-submit per cluster size. Modes:
+  *
+  *  - `ramp <cores>`: fresh store, run the untimed frontier-fill waves,
+  *    compact the pending base (so timed resumes read one parquet dir).
+  *  - `resume <cores>`: JIT-warm (small crawl + parse slice), page-cache
+  *    warm, then TIME `waves` resumed waves; prints `RESULT <fetched>
+  *    <sec>`.
+  *
+  * Each timed phase pays its own JIT warmup inside its own JVM, so the
+  * two parallelism levels start from identical compilation state as well
+  * as identical committed crawl state.
+  */
+object BenchCrawl {
+
+  private def session(cores: Int, workRoot: String, tag: String): SparkSession = {
+    val s = SparkSession.builder()
+      .master(s"local[$cores]")
+      .config("spark.sql.shuffle.partitions", cores)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.local.dir", s"$workRoot/spark_local_$tag")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  private def rmrf(p: String): Unit = {
+    val f = new java.io.File(p)
+    if (f.isDirectory) f.listFiles.foreach(c => rmrf(c.getPath))
+    f.delete()
+  }
+
+  private def warmRead(spark: SparkSession, webPath: String): Unit = {
+    import org.apache.spark.sql.functions._
+    spark.read.parquet(webPath)
+      .select(max(octet_length(col("html"))), max(octet_length(col("text"))))
+      .collect()
+  }
+
+  private def warmParse(spark: SparkSession, webPath: String): Unit = {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    spark.read.parquet(webPath)
+      .filter(pmod(xxhash64(col("url")), lit(6)) === 0)
+      .select(col("url"), col("html"))
+      .as[(String, Array[Byte])]
+      .mapPartitions(it => it.map { case (u, html) =>
+        graft.crawl.PageParse.parse(html, u, NewsUrl.isNewsUrl(u)).links.size
+      })
+      .agg(sum("value")).collect()
+  }
+
+  def main(args: Array[String]): Unit = {
+    val Array(mode, coresS, webPath, store, wavesS, budgetS, nPagesS,
+      nHostsS, workRoot) = args
+    val cores = coresS.toInt
+    val waves = wavesS.toInt
+    val webCfg = WebGen.Config(nPages = nPagesS.toLong,
+      nHosts = nHostsS.toInt, megaShare = 0.05)
+    val cfg = CrawlJob.Config(
+      pagesPath = webPath, storeRoot = store,
+      seeds = WebGen.seeds(webCfg),
+      hostBudget = budgetS.toInt, cachePages = false, lean = true,
+      expectedTotalUrls = webCfg.nPages * 3,
+      compactEvery = 0) // compaction only at end-of-ramp, below
+    val spark = session(cores, workRoot, s"$mode$cores")
+
+    mode match {
+      case "ramp" =>
+        warmRead(spark, webPath)
+        val rampWave = CrawlJob.run(spark, cfg, stopAfterWaves = waves)
+        new FrontierStore(store).compact(spark, rampWave)
+        println(s"RESULT $rampWave 0")
+
+      case "resume" =>
+        // JIT warmup inside THIS JVM: a small end-to-end crawl compiles
+        // the whole wave path; the parse slice compiles the extractor
+        val warmCfg = WebGen.Config(nPages = 20000, nHosts = 16)
+        val warmStore = s"$workRoot/store_warm_$cores"
+        rmrf(warmStore)
+        CrawlJob.run(spark, cfg.copy(pagesPath = s"$workRoot/warm_web",
+          storeRoot = warmStore, seeds = WebGen.seeds(warmCfg)),
+          stopAfterWaves = 5)
+        warmParse(spark, webPath)
+        warmRead(spark, webPath)
+        System.gc() // full STW here, not inside the timed window
+        val fs = new FrontierStore(store)
+        val rampWave = fs.latestWave().get
+        val t0 = System.nanoTime()
+        val finalWave = CrawlJob.run(spark, cfg, stopAfterWaves = waves)
+        val sec = (System.nanoTime() - t0) / 1e9
+        val fetched = ((rampWave + 1) to finalWave).map { w =>
+          val p = fs.articlesPath(w)
+          if (java.nio.file.Files.exists(java.nio.file.Paths.get(p)))
+            spark.read.parquet(p).count()
+          else 0L
+        }.sum
+        println(f"RESULT $fetched $sec%.3f")
+    }
+    spark.stop()
+  }
+}

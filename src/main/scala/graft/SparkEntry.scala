@@ -254,6 +254,48 @@ object SparkEntry {
       Similarity.cosineNearDupPairs(t(s, dir, "embeddings"), "vec_id",
         "embedding", dim = 64, bits = 4, threshold = 0.2)),
 
+    // J3/J4 — page↔resource edge table + resource dim (the reference's
+    // har_urls / page_har_url_associated pipeline,
+    // datacollector.py:313-356) over synthesized per-doc resource lists
+    "q26_resource_edges" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val page = concat(lit("https://www."), $"source",
+        lit(".example.com/p/"), $"doc_id")
+      val res = array(
+        concat(lit("https://cdn.example.net/lib-"), pmod($"doc_id", lit(3)), lit(".js")),
+        concat(lit("https://stat.example.org/px-"), pmod($"doc_id", lit(7)), lit(".gif")),
+        concat(lit("https://media.example.net/m-"), $"doc_id", lit(".mp4")))
+      d.select(page.as("page_url"), explode(res).as("res_url"))
+        .dropDuplicates("page_url", "res_url")
+        .groupBy($"res_url")
+        .agg(count(lit(1)).as("n_pages"), min($"page_url").as("first_page"))
+    }),
+
+    // J6 — Adblock-rule classification (ads_extractor.py:6-32) with a
+    // literal rule set over synthesized resource URLs; broadcast
+    // compiled rules, map-side classify
+    "q27_ad_rules" -> ((s, dir) => {
+      val rules = graft.operators.AdRules(Seq(
+        "! test rules",
+        "||ads.example.com^",
+        "/banner/",
+        "@@||ads.example.com/ok/",
+        "*track*"))
+      val d = t(s, dir, "documents")
+      val url = when(pmod($"doc_id", lit(5)) === 0,
+          concat(lit("https://ads.example.com/img/a-"), $"doc_id", lit(".gif")))
+        .when(pmod($"doc_id", lit(5)) === 1,
+          concat(lit("https://cdn.example.net/banner/b-"), $"doc_id", lit(".js")))
+        .when(pmod($"doc_id", lit(5)) === 2,
+          concat(lit("https://ads.example.com/ok/c-"), $"doc_id", lit(".js")))
+        .when(pmod($"doc_id", lit(5)) === 3,
+          concat(lit("https://static.example.org/t/track-"), $"doc_id", lit(".js")))
+        .otherwise(
+          concat(lit("https://static.example.org/app-"), $"doc_id", lit(".css")))
+      graft.operators.Resources.classifyResources(
+        d.select($"doc_id", url.as("res_url")), "res_url", rules)
+    }),
+
     // Article extraction as a queryable operator over a deterministic
     // synthetic web SIZED BY the scale-factor dir (rows-only;
     // byte-identity is covered by sbt test). lineitem's row count is the
@@ -460,6 +502,28 @@ object SparkEntry {
         |  CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS v_sum
         |FROM (SELECT CAST(floor(epoch(ts)) AS BIGINT) AS es, event_type, value FROM events)
         |GROUP BY 1, 2""".stripMargin,
+
+    "q26_resource_edges" ->
+      """WITH e AS (
+        |  SELECT DISTINCT
+        |    'https://www.' || source || '.example.com/p/' || doc_id AS page_url,
+        |    unnest(['https://cdn.example.net/lib-' || (doc_id % 3) || '.js',
+        |            'https://stat.example.org/px-' || (doc_id % 7) || '.gif',
+        |            'https://media.example.net/m-' || doc_id || '.mp4']) AS res_url
+        |  FROM documents)
+        |SELECT res_url, count(*) AS n_pages, min(page_url) AS first_page
+        |FROM e GROUP BY res_url""".stripMargin,
+
+    "q27_ad_rules" ->
+      """SELECT doc_id,
+        |  CASE doc_id % 5
+        |    WHEN 0 THEN 'https://ads.example.com/img/a-' || doc_id || '.gif'
+        |    WHEN 1 THEN 'https://cdn.example.net/banner/b-' || doc_id || '.js'
+        |    WHEN 2 THEN 'https://ads.example.com/ok/c-' || doc_id || '.js'
+        |    WHEN 3 THEN 'https://static.example.org/t/track-' || doc_id || '.js'
+        |    ELSE 'https://static.example.org/app-' || doc_id || '.css' END AS res_url,
+        |  doc_id % 5 IN (0, 1, 3) AS is_advertising
+        |FROM documents""".stripMargin,
 
     "q23_media_entropy" ->
       """WITH chars AS (

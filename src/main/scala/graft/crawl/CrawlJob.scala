@@ -134,10 +134,7 @@ object CrawlJob {
       .select(stateCols: _*)
   }
 
-  private val stateColNames = Seq("urlKey", "ckey", "url", "host", "hostRank",
-    "isWebnews", "discWave", "parentRank", "linkIdx", "status", "attempts",
-    "fetchWave", "scheduledRank", "urlToRefer")
-  private def stateCols = stateColNames.map(col)
+  private def stateCols = FrontierSchema.stateColNames.map(col)
 
   /** One wave's delta outputs. Outcome/pendadd key sets are disjoint by
     * construction (the FrontierStore contract).
@@ -156,7 +153,10 @@ object CrawlJob {
     // eligible by construction: attempts≥max rows were finalized)
     val waveSet = Scheduler.selectWave(pending, cfg.hostBudget)
       .persist(StorageLevel.DISK_ONLY)
+    val tSched = System.nanoTime()
     val scheduled = waveSet.count()
+    if (sys.env.contains("GRAFT_TIMING")) System.err.println(
+      f"[timing] wave $wave sched ${(System.nanoTime() - tSched) / 1e9}%.2fs")
 
     // 2. fetch join; ckey string equality guards hash collisions. A
     // WARC-style table may carry multiple captures per url — collapse to
@@ -326,10 +326,17 @@ object CrawlJob {
         $"r.topImage", $"r.isWebnewsMeta", $"r.nLinks")
     val articles = ownArticles.unionByName(redirectArticles)
 
-    // metrics (driver actions only outside lean mode)
-    val fetchedCount = if (cfg.lean) -1L else parsed.count()
+    // FORCE-materialize the two persisted pivots before the commit
+    // writes: the delta/articles write plans reference them from several
+    // independent exchanges, and AQE materializes exchanges as
+    // CONCURRENT jobs — concurrent tasks on a not-yet-cached block each
+    // recompute it (measured: the parse pipeline ran 3× inside one wave,
+    // 350 CPU-s each, showing up as random 60-170 s wave spikes). Two
+    // cheap actions pin the cache exactly once; they double as metrics.
+    val fetchedCount = parsed.count()
+    val newCount = newEntries.count()
+    // remaining metrics are pure cached-side derivations (lean skips)
     val candCount = if (cfg.lean) -1L else cand.count()
-    val newCount = if (cfg.lean) -1L else newEntries.count()
     val disallowedCount = if (cfg.lean) -1L else newDisallowed.count()
     val failedFinal = if (cfg.lean) -1L else failedOut.count()
     val metrics = WaveMetrics(
@@ -337,7 +344,7 @@ object CrawlJob {
       scheduled = scheduled,
       fetched = fetchedCount,
       failedFinal = failedFinal,
-      retried = if (cfg.lean) -1L else scheduled - fetchedCount,
+      retried = scheduled - fetchedCount,
       newLinks = newCount,
       dupLinks = if (cfg.lean) -1L else candCount - newCount,
       disallowed = disallowedCount,
@@ -402,35 +409,19 @@ object CrawlJob {
         exhausted = true
       } else {
         store.commitWave(spark, wave + 1, r.outcomes, r.pendadd, r.keys,
-          Some(r.articles), r.metrics, withLineage = !cfg.lean,
+          r.articles, r.metrics, withLineage = !cfg.lean,
           preCommit = () => bloom.foreach(_.update(r.keys)))
         wave += 1
         wavesRun += 1
-        // incremental pending update over the cached previous view:
-        // broadcast anti-join of the O(wave) removal keys (every key in
-        // this wave's delta leaves or replaces its pending row), then
-        // append the committed pendadd — no O(pending) shuffle. Reads the
-        // COMMITTED delta from disk so the result is bit-equal to a
-        // resume's pendingView reconstruction.
-        val removalDirs = Seq(store.outcomesPath(wave), store.pendaddPath(wave))
-          .filter(p => java.nio.file.Files.exists(java.nio.file.Paths.get(p)))
-        val removals = spark.read.parquet(removalDirs: _*)
-          .select($"urlKey", $"ckey")
-        val npRaw = pending
-          .join(broadcast(removals), Seq("urlKey", "ckey"), "left_anti")
-          .unionByName(
-            if (java.nio.file.Files.exists(
-                java.nio.file.Paths.get(store.pendaddPath(wave))))
-              store.readPendadd(spark, wave)
-            else pending.limit(0))
-        val np =
-          if (cfg.compactEvery > 0 && wave % cfg.compactEvery == 0) {
-            // periodic base rewrite from the incremental view (amortized
-            // O(pending)); the fresh base read resets the cached chain
-            store.compactFrom(npRaw, wave)
-            spark.read.parquet(store.basePath(wave))
-              .persist(StorageLevel.DISK_ONLY)
-          } else npRaw.persist(StorageLevel.DISK_ONLY)
+        // pending view for the next wave: base ⊕ committed deltas (one
+        // bounded-by-compaction shuffle of O(pending) — measured faster
+        // than an incremental broadcast-anti-join, whose removal-key
+        // broadcast carries ckey strings and stalls at discovery-peak
+        // waves). Reading the COMMITTED files keeps resume bit-equal.
+        if (cfg.compactEvery > 0 && wave % cfg.compactEvery == 0)
+          store.compact(spark, wave)
+        val np = store.pendingView(spark, wave)
+          .persist(StorageLevel.DISK_ONLY)
         r.cached.foreach(_.unpersist(blocking = false))
         prevPending = Some(pending)
         pending = np

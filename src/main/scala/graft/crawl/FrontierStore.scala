@@ -53,7 +53,7 @@ class FrontierStore(val root: String) {
   def outcomesPath(w: Int): String = s"${deltaPath(w)}/_kind=o"
   def pendaddPath(w: Int): String = s"${deltaPath(w)}/_kind=p"
   def keysPath(w: Int): String = s"${deltaPath(w)}/_kind=k"
-  def articlesPath(w: Int): String = s"${waveDir(w)}/articles"
+  def articlesPath(w: Int): String = s"${deltaPath(w)}/_kind=a"
   def basePath(w: Int): String = s"${baseRoot(w)}/pending"
   def bloomDir: String = s"$root/bloom"
 
@@ -85,21 +85,34 @@ class FrontierStore(val root: String) {
     markLatest(0)
   }
 
-  /** The wave commit is a SINGLE partitioned write (outcomes ∪ pendadd ∪
-    * padded keys, split by `_kind` at the file level — no shuffle) plus
-    * the articles append: two Spark jobs total, each O(wave).
+  /** The wave commit is a SINGLE partitioned write: outcomes ∪ pendadd ∪
+    * padded keys ∪ articles, split by `_kind` at the FILE level (no
+    * shuffle) — one O(wave) Spark job commits the whole wave. State rows
+    * carry null article columns and vice versa; the `_kind` partition
+    * dirs slice them back apart at read time.
     */
   def commitWave(spark: SparkSession, wave: Int, outcomes: DataFrame,
                  pendadd: DataFrame, keys: DataFrame,
-                 articles: Option[DataFrame], metrics: WaveMetrics,
+                 articles: DataFrame, metrics: WaveMetrics,
                  withLineage: Boolean = true,
                  preCommit: () => Unit = () => ()): Unit = {
-    outcomes.withColumn("_kind", lit("o"))
-      .unionByName(pendadd.withColumn("_kind", lit("p")))
-      .unionByName(padKeys(keys, outcomes).withColumn("_kind", lit("k")))
-      .write.partitionBy("_kind").mode(SaveMode.Overwrite).parquet(deltaPath(wave))
-    articles.foreach(_.write.mode(SaveMode.Overwrite).parquet(articlesPath(wave)))
-    preCommit() // Bloom update: superset-safe before _LATEST
+    val timing = sys.env.contains("GRAFT_TIMING")
+    def timed[A](tag: String)(f: => A): A = {
+      val t0 = System.nanoTime()
+      val r = f
+      if (timing) System.err.println(
+        f"[timing] wave $wave $tag ${(System.nanoTime() - t0) / 1e9}%.2fs")
+      r
+    }
+    timed("delta") {
+      outcomes.withColumn("_kind", lit("o"))
+        .unionByName(pendadd.withColumn("_kind", lit("p")))
+        .unionByName(padKeys(keys, outcomes).withColumn("_kind", lit("k")))
+        .unionByName(articles.withColumn("_kind", lit("a")),
+          allowMissingColumns = true)
+        .write.partitionBy("_kind").mode(SaveMode.Overwrite).parquet(deltaPath(wave))
+    }
+    timed("precommit")(preCommit()) // Bloom update: superset-safe before _LATEST
     // per-partition lineage of THIS wave's delta (re-read from disk so the
     // manifest describes the committed bytes) — O(wave), not O(state)
     val deltaDirs = Seq(outcomesPath(wave), pendaddPath(wave)).filter(exists)
@@ -138,10 +151,14 @@ class FrontierStore(val root: String) {
     if (Files.exists(p)) Some(Files.readString(p).trim.toInt) else None
   }
 
+  // _kind subdirs share the union superset schema; slice back to the
+  // per-kind column set on read
   def readOutcomes(spark: SparkSession, w: Int): DataFrame =
     spark.read.parquet(outcomesPath(w))
+      .select(FrontierSchema.stateColNames.map(col): _*)
   def readPendadd(spark: SparkSession, w: Int): DataFrame =
     spark.read.parquet(pendaddPath(w))
+      .select(FrontierSchema.stateColNames.map(col): _*)
 
   /** Newest compacted base at or below `wave`. */
   def latestBase(wave: Int): Int =
@@ -238,6 +255,8 @@ class FrontierStore(val root: String) {
   /** All articles up to and including `wave` (append-log union). */
   def readArticles(spark: SparkSession, wave: Int): Option[DataFrame] = {
     val dirs = (0 to wave).map(articlesPath).filter(exists)
-    if (dirs.isEmpty) None else Some(spark.read.parquet(dirs: _*))
+    if (dirs.isEmpty) None
+    else Some(spark.read.parquet(dirs: _*)
+      .select(FrontierSchema.articleColNames.map(col): _*))
   }
 }

@@ -30,6 +30,19 @@ object PageParse {
             isWebnews: Boolean): Parsed = {
     val html = new String(htmlBytes, StandardCharsets.UTF_8)
     if (html.length < 200) return Empty // crawler.py:132
+    // S8 — a fetched feed body yields its entry links as frontier
+    // candidates (reference: feedparser entries inserted with scraped=0,
+    // crawler.py:435-463; links cleaned with remove_arguments=False,
+    // crawler.py:461), no article extraction
+    if (graft.extract.RssParse.isFeed(html)) {
+      val seen = mutable.LinkedHashSet.empty[String]
+      graft.extract.RssParse.entries(html).foreach { e =>
+        val cleaned = UrlOps.cleanUrl(e.link, removeArguments = false)
+        if (UrlOps.isValidUrl(cleaned)) seen += cleaned
+      }
+      return Parsed(null, "", seen.toList, isWebnewsMeta = false, null,
+        Nil, Nil, Nil, "", "", null)
+    }
     val domain = UrlOps.getPrincipalDomain(url)
     // Per-row error containment: the reference's lxml is a recovering
     // parser that never throws on malformed web HTML
@@ -39,7 +52,12 @@ object PageParse {
     // not fail the Spark task and abort the crawl wave.
     try {
       val e = graft.extract.ArticleExtractor.extractStr(html, url, domain, isWebnews)
-      Parsed(e.title, e.text, e.inLinks, e.isNewsMeta, e.publishDate,
+      // discovered feed urls ride after the page links in document order
+      // (deterministic linkIdx; the reference fetches feeds in a separate
+      // startup pass — table-world timing folds them into the frontier)
+      val links = (mutable.LinkedHashSet.empty[String]
+        ++= e.inLinks ++= e.feedLinks).toList
+      Parsed(e.title, e.text, links, e.isNewsMeta, e.publishDate,
         e.authors, e.videos, e.sections, e.topImage, e.canonicalLink,
         e.language)
     } catch {

@@ -70,6 +70,19 @@ case class FetchedPage(urlKey: Long, ckey: String, url: String,
     topImage: String, isWebnewsMeta: Boolean, redirectTo: String,
     links: Seq[String])
 
+/** Column lists shared by the crawl job and the delta store (the store
+  * slices the single per-wave partitioned write back into state rows vs
+  * article rows by column set).
+  */
+object FrontierSchema {
+  val stateColNames: Seq[String] = Seq("urlKey", "ckey", "url", "host",
+    "hostRank", "isWebnews", "discWave", "parentRank", "linkIdx", "status",
+    "attempts", "fetchWave", "scheduledRank", "urlToRefer")
+  val articleColNames: Seq[String] = Seq("urlKey", "url", "host",
+    "fetchWave", "title", "text", "language", "publishDate", "authors",
+    "videos", "sections", "topImage", "isWebnewsMeta", "nLinks")
+}
+
 /** Per-wave metrics, written into the snapshot manifest (the Spark-native
   * replacement of the reference's curses dashboard counters,
   * /root/reference/crawling_tools/crawler_manager.py:87-122).

@@ -44,7 +44,8 @@ object ArticleExtractor {
       topImage: String,
       canonicalLink: String,
       isNewsMeta: Boolean,
-      inLinks: List[String])
+      inLinks: List[String],
+      feedLinks: List[String])
 
   private val TextFormatTags = Seq("b", "strong", "i", "em", "mark",
     "small", "del", "ins", "sub", "sup") // extractor.py:26
@@ -118,6 +119,26 @@ object ArticleExtractor {
       seen.toList
     }
 
+    // S8 — feed discovery on the already-parsed tree (the reference runs
+    // the same cascade from RssFinder at crawl start,
+    // extraction_tools/rss_finder.py:12-39 + extractor.py:136-158; in
+    // the table world discovered feed urls simply join the frontier).
+    // Feeds bypass the navigability filetype filter — the reference
+    // fetches them outside page navigation — but stay intra-domain.
+    val feedLinks: List[String] = {
+      val seen = mutable.LinkedHashSet.empty[String]
+      for ((href, _) <- RssDiscovery.extractFeeds(tree, url)) {
+        if (href != null && href.nonEmpty) {
+          val cleaned = UrlOps.cleanUrl(urljoin(url, href),
+            removeArguments = false)
+          if (UrlOps.isValidUrl(cleaned) && domain != null &&
+              UrlOps.isDomainLink(cleaned, domain))
+            seen += cleaned
+        }
+      }
+      seen.toList
+    }
+
     // language normalize (extract_content, extractor.py:75-76)
     if (language != null && language.length >= 2)
       language = language.substring(0, 2).toLowerCase
@@ -125,7 +146,7 @@ object ArticleExtractor {
     val runArticle = isWebnews || isNewsMeta || NewsUrl.isNewsUrl(url)
     if (!runArticle)
       return Extracted(null, "", language, null, Nil, Nil, Nil, "", "",
-        isNewsMeta, inLinks)
+        isNewsMeta, inLinks, feedLinks)
 
     // ---- _last_clean (extractor.py:92-111) ----
     for (e <- Explorer.getElementsByTags(body, TextFormatTags)) e.dropTag()
@@ -178,7 +199,8 @@ object ArticleExtractor {
       topImage = metaImg,
       canonicalLink = canonical,
       isNewsMeta = isNewsMeta,
-      inLinks = inLinks)
+      inLinks = inLinks,
+      feedLinks = feedLinks)
   }
 
   /** extractors.py:441-464 meta cascade + urljoin(article_url, img). */

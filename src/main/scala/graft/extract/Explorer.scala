@@ -222,15 +222,24 @@ final class StopWords(language: String) {
 
 object StopWords {
   val Punct: Set[Char] = "!\"#$%&'()*+,-./:;<=>?@[\\]^_`{|}~".toSet
-  private val cache = mutable.HashMap.empty[String, Set[String]]
+
+  // Both maps are consulted once PER PAGE on the parse hot path.
+  // Class.getResource takes the JVM-global URLClassPath monitor and scans
+  // the (hundreds-of-jars) classpath — uncached it serialized 24/32
+  // executor threads (measured via jstack during a 140 s wave stall).
+  private val availCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[String, Set[String]]()
 
   def available(language: String): Boolean =
-    getClass.getResource(s"/graft/stopwords/stopwords-$language.txt") != null
+    availCache.computeIfAbsent(language, lang =>
+      getClass.getResource(s"/graft/stopwords/stopwords-$lang.txt") != null)
 
-  def load(language: String): Set[String] = cache.synchronized {
-    cache.getOrElseUpdate(language, {
-      val in = getClass.getResourceAsStream(s"/graft/stopwords/stopwords-$language.txt")
-      if (in == null) throw new java.io.FileNotFoundException(s"stopwords-$language")
+  def load(language: String): Set[String] =
+    cache.computeIfAbsent(language, { lang =>
+      val in = getClass.getResourceAsStream(s"/graft/stopwords/stopwords-$lang.txt")
+      if (in == null) throw new java.io.FileNotFoundException(s"stopwords-$lang")
       val content = new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
       in.close()
       // Python splitlines: interior empty lines kept, no trailing ''
@@ -238,5 +247,4 @@ object StopWords {
       val trimmed = if (lines.nonEmpty && lines.last.isEmpty) lines.dropRight(1) else lines
       trimmed.toSet
     })
-  }
 }

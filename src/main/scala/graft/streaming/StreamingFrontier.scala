@@ -10,56 +10,103 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   *
   * This is the streaming-native counterpart of the batch
   * [[graft.crawl.Scheduler]]: candidates stream in (discovered links),
-  * each micro-batch emits at most `budget` URLs per host in the
-  * reference's priority order (webnews first, then discovery order —
+  * each trigger emits at most `budget` URLs per host in the reference's
+  * priority order (webnews first, then discovery order —
   * /root/reference/storage_tools/datacollector.py:171-205), and the
-  * un-emitted remainder + the host's seen-set persist in group state.
-  * Checkpointing the query makes every emitted fetch wave resumable
-  * (ST4) — state lives in the Structured Streaming state store.
+  * un-emitted remainder persists in group state. Checkpointing the query
+  * makes every emitted fetch wave resumable (ST4) — state lives in the
+  * Structured Streaming state store.
   *
-  * Scale: state is per-host (pending queue + seen keys); hosts partition
-  * across executors by groupByKey hash. A mega-host's pending queue is
-  * bounded by `maxPending` (overflow is dropped oldest-lowest-priority
-  * first) — the backpressure knob that mirrors the reference's bounded
-  * in-memory work dict (~200, crawler.py:387).
+  * BOUNDED STATE (a mega-host must not grow state without limit):
+  *  - pending queue capped at `maxPending` (keep the best-priority
+  *    entries; overflow dropped — the reference's in-memory work dict is
+  *    likewise bounded at ~200, crawler.py:387);
+  *  - seen-ness is tracked as 64-bit composite hashes capped at
+  *    `maxSeenKeys` — a BEST-EFFORT wave-local dedup in O(1) memory per
+  *    key; EXACT global dedup is the batch layer's job
+  *    ([[graft.crawl.SeenSet]] anti-join), so trimming this set can only
+  *    cause a duplicate emission, never a lost URL.
+  *
+  * POLITENESS RATE (`minDelayMs`): after emitting a batch for a host the
+  * state records `nextFetchTime`; candidates arriving inside the
+  * cooldown window are buffered and a ProcessingTimeTimeout is armed so
+  * the host re-emits when the window expires even with no new input —
+  * the streaming analogue of the reference's per-host worker-cap pacing
+  * (crawler.py:22,66-77).
   */
 object StreamingFrontier {
 
   case class Candidate(url: String, host: String, isWebnews: Boolean,
                        discSeq: Long)
   case class ScheduledFetch(url: String, host: String, rank: Long)
-  case class HostState(pending: List[Candidate], seen: Set[String],
-                       emitted: Long)
+  case class HostState(pending: List[Candidate], seenKeys: Set[Long],
+                       emitted: Long, nextFetchTime: Long)
 
   /** priority: webnews first, then discovery sequence. */
   private def prio(c: Candidate): (Boolean, Long) = (!c.isWebnews, c.discSeq)
 
-  def scheduleFn(budget: Int, maxPending: Int)(
+  /** 64-bit composite key for best-effort seen tracking (murmur of the
+    * string + its length — collisions only cost a suppressed duplicate).
+    */
+  private[streaming] def urlKey(u: String): Long =
+    (scala.util.hashing.MurmurHash3.stringHash(u).toLong << 32) |
+      (u.length.toLong & 0xffffffffL)
+
+  def scheduleFn(budget: Int, maxPending: Int, maxSeenKeys: Int,
+                 minDelayMs: Long)(
       host: String, in: Iterator[Candidate],
       state: GroupState[HostState]): Iterator[ScheduledFetch] = {
-    val cur = state.getOption.getOrElse(HostState(Nil, Set.empty, 0L))
-    // seen-set dedup (J1 per host) + merge with pending, priority order
-    val fresh = in.toList.filter(c => !cur.seen.contains(c.url))
+    val cur = state.getOption.getOrElse(HostState(Nil, Set.empty, 0L, 0L))
+    // seen-set dedup (J1 per host, best-effort bounded) + merge, priority order
+    val fresh = in.toList.filter(c => !cur.seenKeys.contains(urlKey(c.url)))
       .distinctBy(_.url)
     val all = (cur.pending ++ fresh).sortBy(prio)
-    val (emit, rest) = all.splitAt(budget)
-    val bounded = rest.take(maxPending)
-    state.update(HostState(
-      bounded,
-      cur.seen ++ emit.map(_.url) ++ bounded.map(_.url),
-      cur.emitted + emit.length))
-    emit.iterator.zipWithIndex.map { case (c, i) =>
-      ScheduledFetch(c.url, host, cur.emitted + i + 1)
+    val now =
+      if (minDelayMs > 0) state.getCurrentProcessingTimeMs() else 0L
+
+    def bound(keys: Set[Long]): Set[Long] =
+      if (keys.size <= maxSeenKeys) keys else keys.take(maxSeenKeys)
+
+    if (minDelayMs > 0 && !state.hasTimedOut && now < cur.nextFetchTime) {
+      // cooldown: buffer only (bounded), re-arm the wakeup
+      val bounded = all.take(maxPending)
+      state.update(cur.copy(
+        pending = bounded,
+        seenKeys = bound(cur.seenKeys ++ bounded.map(c => urlKey(c.url)))))
+      state.setTimeoutDuration(math.max(cur.nextFetchTime - now, 1L))
+      Iterator.empty
+    } else {
+      val (emit, rest) = all.splitAt(budget)
+      val bounded = rest.take(maxPending)
+      state.update(HostState(
+        bounded,
+        bound(cur.seenKeys ++ emit.map(c => urlKey(c.url))
+          ++ bounded.map(c => urlKey(c.url))),
+        cur.emitted + emit.length,
+        if (minDelayMs > 0) now + minDelayMs else 0L))
+      // backlog remains → wake this host up after the politeness window
+      if (minDelayMs > 0 && bounded.nonEmpty)
+        state.setTimeoutDuration(minDelayMs)
+      emit.iterator.zipWithIndex.map { case (c, i) =>
+        ScheduledFetch(c.url, host, cur.emitted + i + 1)
+      }
     }
   }
 
-  /** Attach the politeness operator to a candidate stream. */
+  /** Attach the politeness operator to a candidate stream. `minDelayMs`
+    * > 0 enables rate limiting via ProcessingTimeTimeout.
+    */
   def schedule(spark: SparkSession, candidates: Dataset[Candidate],
-               budget: Int, maxPending: Int = 100000): Dataset[ScheduledFetch] = {
+               budget: Int, maxPending: Int = 100000,
+               maxSeenKeys: Int = 500000,
+               minDelayMs: Long = 0L): Dataset[ScheduledFetch] = {
     import spark.implicits._
+    val timeout =
+      if (minDelayMs > 0) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
     candidates
       .groupByKey(_.host)
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
-        scheduleFn(budget, maxPending))
+      .flatMapGroupsWithState(OutputMode.Append, timeout)(
+        scheduleFn(budget, maxPending, maxSeenKeys, minDelayMs))
   }
 }

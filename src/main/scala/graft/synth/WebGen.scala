@@ -89,19 +89,27 @@ object WebGen {
       if (j % 2 == 1) skeleton(mix(h, p, k * 389 + j) % skeleton.length) else w
     }.mkString(" ")
 
-  /** Out-link page numbers of page p within host h (intra-host, closed).
-    * Fan-out ≈ 6-12 so the frontier ramps to data-bound waves quickly.
+  /** Pages per host reachable ONLY through the host's RSS feed (S8):
+    * the last `feedOrphans(nh)` page numbers are excluded from every
+    * link-target range, so fetching them proves feed ingestion.
+    */
+  def feedOrphans(nh: Long): Int = if (nh > 24) 4 else 0
+
+  /** Out-link page numbers of page p within host h (intra-host, closed
+    * over the non-orphan range). Fan-out ≈ 6-12 so the frontier ramps to
+    * data-bound waves quickly.
     */
   def linkTargets(h: Int, p: Long, nh: Long): Seq[Long] = {
+    val span = nh - feedOrphans(nh) // orphans stay feed-only
     if (p == 0L) {
       // hub: fan out to the first pages of the host
-      (1L until math.min(13L, nh)).toSeq
+      (1L until math.min(13L, span)).toSeq
     } else (p % 5).toInt match {
       case 1 | 2 => Seq(2 * p + 1, 3 * p + 2, 5 * p + 7, 7 * p + 11,
-        11 * p + 13, 13 * p + 17).map(_ % nh)
+        11 * p + 13, 13 * p + 17).map(_ % span)
       case 3     => Seq(p + 1, 2 * p + 1, 7 * p + 3, 3 * p + 5, 5 * p + 11,
-        9 * p + 2, 17 * p + 5, 19 * p + 7).map(_ % nh)
-      case 4     => Seq((p + 2) % nh, (23 * p + 3) % nh)
+        9 * p + 2, 17 * p + 5, 19 * p + 7).map(_ % span)
+      case 4     => Seq((p + 2) % span, (23 * p + 3) % span)
       case _     => Seq.empty
     }
   }
@@ -126,6 +134,8 @@ object WebGen {
       .append("</title>")
     if (hasCanonical(p))
       sb.append("<link rel=\"canonical\" href=\"").append(canonicalUrlOf(h, p)).append("\"/>")
+    if (p == 0L) // hub advertises the host feed (S8 discovery cascade)
+      sb.append("<link rel=\"alternate\" type=\"application/rss+xml\" href=\"/feed.xml\" title=\"feed\"/>")
     sb.append("</head><body>")
     sb.append("<nav><a href=\"/index.html\">home</a></nav>")
     sb.append("<article><p>").append(sentence(h, p, 1, 14)).append("</p><p>")
@@ -164,10 +174,33 @@ object WebGen {
 
   val RobotsBody = "User-agent: *\nDisallow: /private/\n"
 
-  /** Row i of the generated table (robots rows occupy [nPages, nPages+H)). */
+  /** RSS 2.0 feed body for host h: one item per feed-orphan page (the
+    * pages no html link reaches — S8 ingestion is the only path to
+    * them). Single-line well-formed XML, >200 chars by construction.
+    */
+  def feedBodyOf(cfg: Config, h: Int): String = {
+    val nh = cfg.sizes(h)
+    val items = ((nh - feedOrphans(nh)) until nh).map { p =>
+      s"<item><title>${titleOf(h, p)}</title><link>${urlOf(h, p)}</link>" +
+        s"<pubDate>2024-03-0${p % 9 + 1}</pubDate></item>"
+    }.mkString
+    "<?xml version=\"1.0\" encoding=\"UTF-8\"?>" +
+      s"""<rss version="2.0"><channel><title>host$h feed</title>""" +
+      s"<link>${base(h)}</link>$items</channel></rss>" +
+      // pad so even an empty-orphan feed passes the 200-char fetch gate
+      "<!-- " + ("x" * 120) + " -->"
+  }
+
+  /** Row i of the generated table: pages [0, nPages), robots rows
+    * [nPages, nPages+H), feed rows [nPages+H, nPages+2H).
+    */
   def rowAt(cfg: Config, i: Long): (String, Long, Array[Byte], String, String) = {
     val ts = 1700000000L + i
-    if (i >= cfg.nPages) {
+    if (i >= cfg.nPages + cfg.nHosts) {
+      val h = (i - cfg.nPages - cfg.nHosts).toInt
+      val body = feedBodyOf(cfg, h)
+      (s"${base(h)}/feed.xml", ts, body.getBytes("UTF-8"), "", "")
+    } else if (i >= cfg.nPages) {
       val h = (i - cfg.nPages).toInt
       (s"${base(h)}/robots.txt", ts,
         RobotsBody.getBytes("UTF-8"), RobotsBody, "")
@@ -182,7 +215,7 @@ object WebGen {
   /** Distributed generation → DataFrame(url, warc_ts, html, text, lang). */
   def generate(spark: SparkSession, cfg: Config): DataFrame = {
     import spark.implicits._
-    spark.range(cfg.nPages + cfg.nHosts)
+    spark.range(cfg.nPages + 2L * cfg.nHosts)
       .mapPartitions { it =>
         it.map { i => WebGen.rowAt(cfg, i) }
       }

@@ -124,6 +124,32 @@ class CrawlSpec extends AnyFunSuite {
     }
   }
 
+  test("RSS ingestion (S8): feeds fetched, feed-only entries reach the crawl") {
+    val (_, state, _) = sparkRun
+    // every host's feed.xml was discovered from the hub and fetched
+    assert(state.filter($"ckey".endsWith("/feed.xml") &&
+      $"status" === Status.Fetched).count() === webCfg.nHosts.toLong)
+    // feed-only orphan pages (no html link reaches them) are in the
+    // final state: fetched, or robots-disallowed for /private/ templates
+    val orphans = (0 until webCfg.nHosts).flatMap { h =>
+      val nh = webCfg.sizes(h)
+      ((nh - WebGen.feedOrphans(nh)) until nh).map(p =>
+        (WebGen.urlOf(h, p).replaceFirst("^https?://", ""),
+          WebGen.pathOf(h, p).startsWith("/private/")))
+    }
+    assert(orphans.nonEmpty && orphans.exists(!_._2))
+    val got = state.select($"ckey", $"status").collect()
+      .map(r => r.getString(0) -> r.getInt(1)).toMap
+    orphans.foreach { case (ck, isPrivate) =>
+      withClue(ck) {
+        assert(got.contains(ck))
+        if (isPrivate) assert(got(ck) === Status.Disallowed)
+        // canonical-template orphans finish Redirected, the rest Fetched
+        else assert(got(ck) === Status.Fetched || got(ck) === Status.Redirected)
+      }
+    }
+  }
+
   test("kill-and-resume: stop after 2 waves, resume, final state identical") {
     val store2 = Files.createTempDirectory("graftstore2").toString
     val cfg2 = crawlCfg(store2)

@@ -59,4 +59,65 @@ class StreamingSpec extends AnyFunSuite {
     assert(aB2.map(_.rank).sorted === Seq(4L, 5L, 6L))
     q.stop()
   }
+
+  test("mega-host state stays bounded: pending and seen-key caps hold") {
+    import org.apache.spark.sql.streaming.TestGroupState
+    val fn = StreamingFrontier.scheduleFn(budget = 10, maxPending = 1000,
+      maxSeenKeys = 2000, minDelayMs = 0L) _
+    var state = TestGroupState.create[StreamingFrontier.HostState](
+      org.apache.spark.api.java.Optional.empty[StreamingFrontier.HostState](), org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout,
+      1000L, org.apache.spark.api.java.Optional.empty[Long](), hasTimedOut = false)
+    // a mega-host floods 50k candidates across 5 calls
+    var emittedTotal = 0
+    for (batch <- 0 until 5) {
+      val in = (0 until 10000).iterator.map(i =>
+        StreamingFrontier.Candidate(s"m/u${batch * 10000 + i}", "mega",
+          isWebnews = false, batch * 10000L + i))
+      val out = fn("mega", in, state).toList
+      emittedTotal += out.length
+      val s = state.get
+      assert(s.pending.length <= 1000, "pending cap")
+      assert(s.seenKeys.size <= 2000, "seen cap")
+      state = TestGroupState.create[StreamingFrontier.HostState](
+        org.apache.spark.api.java.Optional.of(s), org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout,
+        1000L, org.apache.spark.api.java.Optional.empty[Long](), hasTimedOut = false)
+    }
+    assert(emittedTotal === 50) // 5 calls × budget 10
+  }
+
+  test("politeness cooldown: in-window input buffers, timeout re-emits") {
+    import org.apache.spark.sql.streaming.TestGroupState
+    val fn = StreamingFrontier.scheduleFn(budget = 2, maxPending = 100,
+      maxSeenKeys = 1000, minDelayMs = 60000L) _
+    def st(prev: Option[StreamingFrontier.HostState], nowMs: Long,
+           timedOut: Boolean) =
+      TestGroupState.create[StreamingFrontier.HostState](
+        prev.map(org.apache.spark.api.java.Optional.of[StreamingFrontier.HostState])
+          .getOrElse(org.apache.spark.api.java.Optional.empty[StreamingFrontier.HostState]()),
+        org.apache.spark.sql.streaming.GroupStateTimeout.ProcessingTimeTimeout,
+        nowMs, org.apache.spark.api.java.Optional.empty[Long](), hasTimedOut = timedOut)
+
+    // t=0: first batch emits `budget` and arms the cooldown
+    val s0 = st(Option.empty, 0L, timedOut = false)
+    val cands = (1 to 5).map(i =>
+      StreamingFrontier.Candidate(s"h/u$i", "h", isWebnews = false, i.toLong))
+    val e0 = fn("h", cands.iterator, s0).toList
+    assert(e0.map(_.url) === Seq("h/u1", "h/u2"))
+    assert(s0.get.nextFetchTime === 60000L)
+    assert(s0.getTimeoutTimestampMs.isPresent) // wakeup armed (backlog)
+
+    // t=30s (inside the window), new input: buffered, nothing emitted
+    val s1 = st(Option(s0.get), 30000L, timedOut = false)
+    val e1 = fn("h",
+      Iterator(StreamingFrontier.Candidate("h/u6", "h", isWebnews = false, 6L)),
+      s1).toList
+    assert(e1.isEmpty)
+    assert(s1.get.pending.map(_.url) === Seq("h/u3", "h/u4", "h/u5", "h/u6"))
+
+    // t=60s: the timeout fires with NO input → next batch emits
+    val s2 = st(Option(s1.get), 60000L, timedOut = true)
+    val e2 = fn("h", Iterator.empty, s2).toList
+    assert(e2.map(_.url) === Seq("h/u3", "h/u4"))
+    assert(s2.get.nextFetchTime === 120000L)
+  }
 }
