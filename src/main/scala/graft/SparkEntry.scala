@@ -296,6 +296,34 @@ object SparkEntry {
         d.select($"doc_id", url.as("res_url")), "res_url", rules)
     }),
 
+    // S9/A5 — WHOIS record fold (min/max over registry date lists,
+    // first-of-list scalars — whoisinfo.py:39-112) over deterministic
+    // fixture records; external service out of scope
+    "q28_whois_fold" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select($"source").distinct()
+      val a = ascii(substring($"source", 1, 1)).cast("long")
+      val l = length($"source").cast("long")
+      val e0 = lit(1000000000L)
+      val records = d.select(
+        concat($"source", lit(".example.com")).as("domain"),
+        array(timestamp_seconds(e0 + a * 86400),
+          timestamp_seconds(e0 + l * 3600)).as("creation_dates"),
+        array(timestamp_seconds(e0 + a * 172800),
+          timestamp_seconds(e0 + l * 7200)).as("updated_dates"),
+        array(timestamp_seconds(e0 + a * 259200),
+          timestamp_seconds(e0 + l * 10800)).as("expiration_dates"),
+        array(element_at(array(lit("IT"), lit("US"), lit("FR")),
+          (pmod(l, lit(3)) + 1).cast("int"))).as("countries"),
+        array(lit("NA")).as("states"),
+        array(lit("ok"), lit("reg")).as("statuses"))
+      graft.operators.Whois.fold(records)
+        .select($"domain",
+          unix_timestamp($"creation_date").as("created_s"),
+          unix_timestamp($"updated_date").as("updated_s"),
+          unix_timestamp($"expiration_date").as("expires_s"),
+          $"country", $"state", $"status")
+    }),
+
     // Article extraction as a queryable operator over a deterministic
     // synthetic web SIZED BY the scale-factor dir (rows-only;
     // byte-identity is covered by sbt test). lineitem's row count is the
@@ -502,6 +530,19 @@ object SparkEntry {
         |  CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS v_sum
         |FROM (SELECT CAST(floor(epoch(ts)) AS BIGINT) AS es, event_type, value FROM events)
         |GROUP BY 1, 2""".stripMargin,
+
+    "q28_whois_fold" ->
+      """SELECT DISTINCT source || '.example.com' AS domain,
+        |  CAST(least(1000000000 + ascii(substr(source, 1, 1)) * 86400,
+        |             1000000000 + length(source) * 3600) AS BIGINT) AS created_s,
+        |  CAST(greatest(1000000000 + ascii(substr(source, 1, 1)) * 172800,
+        |                1000000000 + length(source) * 7200) AS BIGINT) AS updated_s,
+        |  CAST(greatest(1000000000 + ascii(substr(source, 1, 1)) * 259200,
+        |                1000000000 + length(source) * 10800) AS BIGINT) AS expires_s,
+        |  (['IT', 'US', 'FR'])[CAST(length(source) % 3 AS INTEGER) + 1] AS country,
+        |  'NA' AS state,
+        |  'ok' AS status
+        |FROM documents""".stripMargin,
 
     "q26_resource_edges" ->
       """WITH e AS (

@@ -89,9 +89,21 @@ object CrawlJob {
       .withColumn("urlKey", xxhash64($"ckey"))
       .drop("url")
 
-  /** robots.txt rules per host, collected once (tiny: ≤1 row/host). At
-    * 10^8 hosts this becomes a broadcast-joined rules table instead of a
-    * driver map — same plan shape, rules keyed by host.
+  /** robots.txt rules as a TABLE keyed by host (one row per host with a
+    * robots page): the engine joins candidates against it, so 10^8 hosts
+    * never pass through the driver — Catalyst auto-broadcasts while the
+    * table is small and falls back to a shuffled join at scale.
+    */
+  def robotsRulesDf(spark: SparkSession, cfg: Config): DataFrame = {
+    val hostUdf = udf((u: String) => UrlOps.getPrincipalDomain(u))
+    val parseUdf = udf((t: String) => Robots.parse(t))
+    spark.read.parquet(cfg.pagesPath)
+      .filter($"url".endsWith("/robots.txt"))
+      .select(hostUdf($"url").as("host"), parseUdf($"text").as("disallow"))
+  }
+
+  /** Driver-map form of the rules — the sequential RefSpec oracle's
+    * input (tests only; the engine itself uses [[robotsRulesDf]]).
     */
   def robotsRules(spark: SparkSession, cfg: Config): Map[String, Seq[String]] =
     spark.read.parquet(cfg.pagesPath)
@@ -145,7 +157,7 @@ object CrawlJob {
       cached: Seq[org.apache.spark.sql.Dataset[_]])
 
   def runWave(spark: SparkSession, pending: DataFrame, seenKeys: DataFrame,
-              pages: DataFrame, rules: Map[String, Seq[String]], wave: Int,
+              pages: DataFrame, rules: DataFrame, wave: Int,
               cfg: Config, probe: Option[Column => Column]): WaveResult = {
     import spark.implicits._
 
@@ -199,9 +211,10 @@ object CrawlJob {
     // (hostRank, parentRank, linkIdx) — exactly RefSpec's single
     // candidates map, so a canon target that is also linked in the same
     // wave resolves to ONE deterministic winner.
-    val rulesBc = spark.sparkContext.broadcast(rules)
-    val disallowedUdf = udf((host: String, url: String) =>
-      Robots.isDisallowed(rulesBc.value, host, url))
+    // robots as a JOIN against the rules table (auto-broadcast while
+    // small, shuffled join at 10^8 hosts — never a driver-held map)
+    val disallowedUdf = udf((prefixes: Seq[String], url: String) =>
+      prefixes != null && Robots.isDisallowedBy(prefixes, url))
     val linkCand = parsed
       .select($"host", $"hostRank", $"scheduledRank".as("parentRank"),
         posexplode($"links").as(Seq("linkIdx", "url")))
@@ -210,8 +223,10 @@ object CrawlJob {
       // native Catalyst expression (whole-stage codegen) — this runs per
       // discovered link, the highest-volume scalar in the engine
       .withColumn("isWebnews", graft.functions.UrlExpressions.is_news_url($"url"))
-      .withColumn("status", when(disallowedUdf($"host", $"url"),
+      .join(rules, Seq("host"), "left")
+      .withColumn("status", when(disallowedUdf($"disallow", $"url"),
         Status.Disallowed).otherwise(Status.Pending))
+      .drop("disallow")
       .withColumn("fetchWave", lit(-1))
     // ST5: canonical targets enter as already-Fetched rows (reference:
     // INSERT OR IGNORE + immediate scraped=1 content update)
@@ -369,7 +384,8 @@ object CrawlJob {
         pages0.repartition(nShuffle, $"urlKey")
           .persist(StorageLevel.MEMORY_AND_DISK)
       else pages0
-    val rules = robotsRules(spark, cfg)
+    val rules = robotsRulesDf(spark, cfg)
+      .persist(StorageLevel.MEMORY_AND_DISK)
 
     var wave = store.latestWave().getOrElse {
       val init = initState(spark, cfg)
@@ -432,6 +448,7 @@ object CrawlJob {
     }
     prevPending.foreach(_.unpersist(blocking = false))
     pending.unpersist(blocking = false)
+    rules.unpersist(blocking = false)
     if (cfg.cachePages) pages.unpersist(blocking = false)
     wave
   }

@@ -89,13 +89,17 @@ object Robots {
     out.toList
   }
 
+  /** URL path against one host's disallow prefixes. */
+  def isDisallowedBy(prefixes: Seq[String], url: String): Boolean = {
+    val path = graft.PyUrl.urlparse(
+      if (url.matches("^https?://.*")) url else "https://" + url).path
+    prefixes.exists(path.startsWith)
+  }
+
   /** rules: host → disallow prefixes. URL with unknown host is allowed. */
   def isDisallowed(rules: Map[String, Seq[String]], host: String, url: String): Boolean =
     rules.get(host) match {
       case None => false
-      case Some(prefixes) =>
-        val path = graft.PyUrl.urlparse(
-          if (url.matches("^https?://.*")) url else "https://" + url).path
-        prefixes.exists(path.startsWith)
+      case Some(prefixes) => isDisallowedBy(prefixes, url)
     }
 }
