@@ -168,12 +168,20 @@ object ArticleExtractor {
     if (metaLang != null && StopWords.available(metaLang)) extractorLang = metaLang
     val stop = new StopWords(extractorLang)
 
-    val cleanTree = tree.deepCopy
-
-    var title = Extractors.getTitle(cleanTree)
-    val authors = Extractors.getAuthors(cleanTree)
-    val canonical = Extractors.getCanonicalLink(url, cleanTree)
-    val publishDate = Extractors.getPublishingDate(url, cleanTree, extractorLang)
+    // All metadata getters are PURE READS (no tree mutation), so they
+    // run against the cleaned tree directly — BEFORE the gravity scorer
+    // and post-cleanup mutate it. The reference protects these reads
+    // with a full deepcopy (article.py:117); the read-before-mutate
+    // ordering gives byte-identical results (asserted per WebGen
+    // template + 17 fixtures) without the copy — the parse path
+    // allocates GB/s at crawl scale and the two per-page tree copies
+    // were its largest single source.
+    var title = Extractors.getTitle(tree)
+    val authors = Extractors.getAuthors(tree)
+    val canonical = Extractors.getCanonicalLink(url, tree)
+    val publishDate = Extractors.getPublishingDate(url, tree, extractorLang)
+    val metaImg = metaImgUrl(url, tree)
+    val sections = Extractors.getSections(tree)
 
     val topNode = Extractors.calculateBestNode(stop, tree)
     var text = ""
@@ -181,12 +189,9 @@ object ArticleExtractor {
     if (topNode != null) {
       videos = Videos.getVideos(topNode, url)
       val cleaned = Extractors.postCleanup(stop, topNode)
-      val cleanTopNode = cleaned.deepCopy
-      text = OutputFormatter.getFormatted(cleanTopNode)
+      // nothing reads the tree after formatting: mutate in place
+      text = OutputFormatter.getFormatted(cleaned)
     }
-
-    val metaImg = metaImgUrl(url, cleanTree)
-    val sections = Extractors.getSections(cleanTree)
 
     Extracted(
       title = if (title != null && title.nonEmpty) title else null,
