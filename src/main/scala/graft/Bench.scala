@@ -86,7 +86,8 @@ object Bench {
     */
   private def crawlPhase(mode: String, cores: Int, webPath: String,
                          store: String, waves: Int, budget: Int,
-                         nPages: Long, nHosts: Int): (Long, Double) = {
+                         nPages: Long, nHosts: Int,
+                         bestOf: Int = 1): (Long, Double) = {
     val java = s"${System.getProperty("java.home")}/bin/java"
     val addOpens = Seq(
       "java.base/java.lang", "java.base/java.lang.invoke",
@@ -107,7 +108,7 @@ object Bench {
       "-cp", System.getProperty("java.class.path"),
       "graft.BenchCrawl", mode, cores.toString, webPath, store,
       waves.toString, budget.toString, nPages.toString, nHosts.toString,
-      workRoot)
+      workRoot, bestOf.toString)
     val pb = new ProcessBuilder(cmd: _*)
     pb.redirectErrorStream(false)
     pb.redirectError(ProcessBuilder.Redirect.INHERIT)
@@ -184,8 +185,14 @@ object Bench {
     val results = levels.map { c =>
       val st = s"$workRoot/store_c$c"
       rmrf(st); copyDir(rampStore, st)
+      // best-of-2 identical windows at EVERY level (episodic hypervisor
+      // steal showed up as whole phases uniformly ~1.6× slower at
+      // random): the fastest window is the least-interfered measurement
+      // of the same work — and taking N's best is also the conservative
+      // direction for the efficiency ratio
       val (fetched, sec) = crawlPhase("resume", c, webPath, st,
-        measureWaves, budget, benchWebCfg.nPages, benchWebCfg.nHosts)
+        measureWaves, budget, benchWebCfg.nPages, benchWebCfg.nHosts,
+        bestOf = 2)
       (c, fetched, sec, fetched / sec)
     }
     val Seq((coresN, fetched1, sec1, thr1), (cores4N, fetched4, sec4, thr4),
