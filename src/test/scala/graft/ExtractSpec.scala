@@ -20,6 +20,21 @@ class ExtractSpec extends AnyFunSuite {
   private val P1 = "il governo della citta che una banca non sono per il mercato"
   private val P2 = "la scuola anche come alla strada dei popolo una storia che non sono"
 
+  test("malformed HTML degrades to an empty parse, never a thrown task failure") {
+    // one bad page must not abort a crawl wave (the reference's lxml is
+    // a recovering parser; our strict Dom raises — PageParse contains it)
+    val bad = ("<html><body><div><p>unclosed " + "x " * 120 +
+      "</span></wrong></html>").getBytes("UTF-8")
+    val p = graft.crawl.PageParse.parse(bad,
+      "https://www.host0.example.com/news/2024/03/12/story-1.html",
+      isWebnews = true)
+    assert(p.text === "")
+    assert(p.links.isEmpty)
+    val notHtml = ("zzz " * 80).getBytes("UTF-8")
+    assert(graft.crawl.PageParse.parse(notHtml,
+      "https://www.host0.example.com/a.html", isWebnews = false).links.isEmpty)
+  }
+
   test("gravity scoring elects the paragraph parent; text joins children with spaces") {
     val html = s"""<html lang="it"><head><title>Prova | Il Giornale</title></head>
       |<body><nav><a href="/index.html">home</a></nav>
