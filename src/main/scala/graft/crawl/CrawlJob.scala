@@ -266,8 +266,11 @@ object CrawlJob {
     // Fetched without a refetch (the reference's UPDATE … WHERE url=? AND
     // scraped=0 path, crawler.py:145-149 + datacollector.py:281-290);
     // targets scheduled THIS wave keep their own fetch outcome instead.
-    val canonKeys = cand.filter($"status" === Status.Fetched)
-      .select($"urlKey", $"ckey")
+    // PRE-dedup canonCand keys, deliberately: RefSpec checks the state
+    // map BEFORE the wave-local candidates dedup (RefSpec.scala:89-98),
+    // so a pending target must upgrade even when an earlier-ordered LINK
+    // discovery of the same key wins the candidates min_by.
+    val canonKeys = canonCand.select($"urlKey", $"ckey").distinct()
     val upgrades = pending
       .join(canonKeys, Seq("urlKey", "ckey"), "left_semi")
       .join(waveSet.select($"urlKey", $"ckey"), Seq("urlKey", "ckey"), "left_anti")

@@ -230,17 +230,23 @@ class FrontierStore(val root: String) {
 
   /** Maintenance (entry point C, /root/reference/script1.py:11-19 VACUUM
     * analogue): drop superseded pending bases and the pendadd deltas the
-    * newest base already folds in. Outcomes/keys/articles are append
-    * logs and always kept; `_LATEST` is untouched, so resume survives.
+    * OLDEST RETAINED base already folds in. `keepLast` = how many of the
+    * newest bases to retain (min 1 — the newest is always kept); deltas
+    * newer than the oldest retained base are kept too, so `pendingView`
+    * stays reconstructible at every wave ≥ that base.
+    * Outcomes/keys/articles are append logs and always kept; `_LATEST`
+    * is untouched, so resume survives.
     */
-  def expireSnapshots(keepLast: Int = 0): Int = {
+  def expireSnapshots(keepLast: Int = 1): Int = {
     val latest = latestWave().getOrElse(return 0)
-    val newestBase = latestBase(latest)
+    val bases = (0 to latestBase(latest)).filter(w => exists(basePath(w)))
+    val kept = bases.takeRight(math.max(1, keepLast))
+    val oldestKept = kept.head
     var removed = 0
-    for (w <- 0 until newestBase; if exists(basePath(w))) {
+    for (w <- bases; if w < oldestKept) {
       deleteRecursively(Paths.get(baseRoot(w))); removed += 1
     }
-    for (w <- 1 to newestBase; if exists(pendaddPath(w))) {
+    for (w <- 1 to oldestKept; if exists(pendaddPath(w))) {
       deleteRecursively(Paths.get(pendaddPath(w))); removed += 1
     }
     removed

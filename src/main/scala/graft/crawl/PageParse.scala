@@ -73,17 +73,33 @@ object PageParse {
   */
 object Robots {
 
-  /** Parse one robots.txt body → disallow path-prefixes for `*` agent. */
+  /** Parse one robots.txt body → disallow path-prefixes for `*` agent.
+    *
+    * RFC 9309 §2.1 grouping: CONSECUTIVE `User-agent` lines form one
+    * group sharing the rules that follow — so in
+    * `User-agent: a\nUser-agent: *\nDisallow: /x`, `/x` applies to `*`.
+    * A `User-agent` line only RESETS the group when rule lines came
+    * between it and the previous agent line.
+    */
   def parse(body: String): Seq[String] = {
     var inStar = false
+    var inAgentRun = false // currently inside a run of User-agent lines
     val out = mutable.ListBuffer.empty[String]
     body.linesIterator.map(_.trim).foreach { line =>
       val lower = line.toLowerCase
-      if (lower.startsWith("user-agent:"))
-        inStar = line.substring("user-agent:".length).trim == "*"
-      else if (inStar && lower.startsWith("disallow:")) {
-        val p = line.substring("disallow:".length).trim
-        if (p.nonEmpty) out += p
+      if (lower.startsWith("user-agent:")) {
+        val agent = line.substring("user-agent:".length).trim
+        // first agent line after rules starts a NEW group; later lines
+        // of the same run widen the group
+        if (inAgentRun) inStar ||= agent == "*"
+        else inStar = agent == "*"
+        inAgentRun = true
+      } else {
+        if (line.nonEmpty) inAgentRun = false
+        if (inStar && lower.startsWith("disallow:")) {
+          val p = line.substring("disallow:".length).trim
+          if (p.nonEmpty) out += p
+        }
       }
     }
     out.toList

@@ -3,10 +3,12 @@ package crawl
 
 import java.io.{BufferedInputStream, BufferedOutputStream}
 import java.nio.file.{Files, Paths, StandardCopyOption}
-import java.util.concurrent.ConcurrentHashMap
 
-import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, GraftColumnShim, Row}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{BooleanType, DataType}
 import org.apache.spark.util.sketch.BloomFilter
 
 /** Sharded URL-seen Bloom filter: one filter per `pmod(urlKey, shards)`
@@ -30,10 +32,21 @@ import org.apache.spark.util.sketch.BloomFilter
   * exact `pages.url UNIQUE` constraint
   * (/root/reference/storage_tools/_datacollector_statements.py:13).
   *
-  * Executor caching: filters load lazily per (dir, shard) into a
-  * JVM-wide bounded cache, invalidated by `version` (the wave id). With
-  * urlKey-partitioned candidates an executor may touch all shards (cache
-  * cap bounds memory); with storage-partitioned (bucketed) candidates
+  * Durability: every shard file is created (empty) at store creation, so
+  * an ABSENT shard file is always damage, never "no keys yet". `ensure`
+  * rebuilds a damaged set from the committed keys log; if a file goes
+  * missing at probe time the expression returns TRUE (suspect), which
+  * degrades that shard to the exact anti-join — the safe direction —
+  * instead of silently re-admitting seen URLs (ADVICE r2).
+  *
+  * Probing is a NATIVE Catalyst expression ([[BloomProbeExpr]]): the
+  * generated Java calls the static [[ShardedBloom.mightContain]] directly,
+  * so the candidate stream stays inside whole-stage codegen (the r2
+  * per-row Scala UDF broke the codegen span and paid an encoder
+  * round-trip per candidate). Filters load lazily per (dir, shard) into a
+  * JVM-wide LRU cache keyed by `version` (the wave id). With
+  * urlKey-partitioned candidates an executor may touch all shards (the
+  * LRU cap bounds memory); with storage-partitioned (bucketed) candidates
   * each task touches exactly its own shard.
   */
 class ShardedBloom(val dir: String, val shards: Int,
@@ -44,7 +57,9 @@ class ShardedBloom(val dir: String, val shards: Int,
     * Runs as one Spark job: repartition by shard, then each task
     * read-merge-writes the filters for the shards it holds. Idempotent
     * under task retry (Bloom insertion is idempotent; file replace is an
-    * atomic rename).
+    * atomic rename). This job is also the cache-materializer of `keys`'
+    * lineage when the caller persists it (CrawlJob leans on that to fuse
+    * the "pin the newEntries cache" action with the Bloom update).
     */
   def update(keys: DataFrame): Unit = {
     val (d, n, eps, f) = (dir, shards, expectedPerShard, fpp)
@@ -64,15 +79,29 @@ class ShardedBloom(val dir: String, val shards: Int,
       }
   }
 
-  /** Probe column for candidate filtering: executor-side lazy load of the
-    * relevant shard filter; absent shard file ⇒ no keys there ⇒ false.
-    * `version` keys the executor cache (pass the current wave id).
-    */
+  /** Probe column: native codegen'd expression (see class doc). */
   def probe(version: Long): Column => Column = { keyCol =>
-    val (d, n) = (dir, shards)
-    val f = udf((k: Long) => ShardedBloom.mightContain(d, n, version, k))
-    f(keyCol)
+    GraftColumnShim.column(BloomProbeExpr(
+      GraftColumnShim.expression(keyCol), dir, shards, version))
   }
+}
+
+/** `mightContain(urlKey)` as a whole-stage-codegen expression: the
+  * generated code is one static call — no UDF closure, no encoder.
+  */
+case class BloomProbeExpr(child: Expression, dir: String, shards: Int,
+                          version: Long) extends UnaryExpression {
+  override def dataType: DataType = BooleanType
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(v: Any): Any =
+    ShardedBloom.mightContain(dir, shards, version, v.asInstanceOf[Long])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val dirRef = ctx.addReferenceObj("bloomDir", dir, "java.lang.String")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.crawl.ShardedBloom.mightContain($dirRef, $shards, ${version}L, $c)")
+  }
+  override protected def withNewChildInternal(c: Expression): BloomProbeExpr =
+    copy(child = c)
 }
 
 object ShardedBloom {
@@ -81,8 +110,11 @@ object ShardedBloom {
   private def shardPath(dir: String, s: Int) = Paths.get(f"$dir/shard_$s%04d.bf")
 
   /** Open the filter set at `dir`, creating it (geometry from the args +
-    * a bulk build over `allKeys`) if absent. On resume the persisted
-    * files already hold every committed key (superset-safe).
+    * a bulk build over `allKeys`) if absent. Every shard file is created
+    * at build time, so a later absent file is detectably damage; a
+    * damaged set (meta present, any shard file missing) is rebuilt from
+    * the keys log here. On clean resume the persisted files already hold
+    * every committed key (superset-safe).
     */
   def ensure(dir: String, shards: Int, expectedTotal: Long, fpp: Double,
              allKeys: => DataFrame): ShardedBloom = {
@@ -90,12 +122,23 @@ object ShardedBloom {
       val m = Files.readString(metaPath(dir))
       def field(k: String): String =
         s""""$k"\\s*:\\s*([0-9.eE+-]+)""".r.findFirstMatchIn(m).get.group(1)
-      new ShardedBloom(dir, field("shards").toInt,
+      val sb = new ShardedBloom(dir, field("shards").toInt,
         field("expectedPerShard").toLong, field("fpp").toDouble)
+      if ((0 until sb.shards).exists(s => !Files.exists(shardPath(dir, s)))) {
+        // damaged: rebuild the whole set from the committed keys log
+        (0 until sb.shards).foreach(s => Files.deleteIfExists(shardPath(dir, s)))
+        (0 until sb.shards).foreach(s =>
+          mergeToFile(dir, s, sb.expectedPerShard, sb.fpp, Nil))
+        sb.update(allKeys)
+      }
+      sb
     } else {
       Files.createDirectories(Paths.get(dir))
       val eps = math.max(expectedTotal / math.max(shards, 1), 1000L)
       val sb = new ShardedBloom(dir, shards, eps, fpp)
+      // every shard file exists from day one (see class doc: absence
+      // must mean damage, not "shard never touched")
+      (0 until shards).foreach(s => mergeToFile(dir, s, eps, fpp, Nil))
       sb.update(allKeys)
       Files.writeString(metaPath(dir),
         s"""{"shards": $shards, "expectedPerShard": $eps, "fpp": $fpp}""")
@@ -121,30 +164,63 @@ object ShardedBloom {
       StandardCopyOption.REPLACE_EXISTING)
   }
 
-  /** JVM-wide probe cache: (dir#shard) → (version, filter|null). Bounded
-    * crudely — full clear past the cap keeps worst-case memory
-    * ≤ maxCached filters per executor.
+  /** JVM-wide probe cache: (dir#shard) → (version, filter|null). Reads
+    * are LOCK-FREE (ConcurrentHashMap.get — a per-row synchronized LRU
+    * would serialize all executor threads, the r1 classloader-lock
+    * failure mode all over again). Approximate LRU: entries carry a
+    * millisecond-granularity access stamp (written only when it changes,
+    * so no per-row cache-line ping-pong); when an insert pushes the map
+    * past [[maxCached]] the least-recently-stamped entry is evicted —
+    * never the whole cache (the r2 clear-all dumped every executor's
+    * working set on overflow).
     */
   private val maxCached = 256
+  private final class Entry(val version: Long, val filter: BloomFilter) {
+    @volatile var access: Long = System.nanoTime() >> 20 // ~ms ticks
+  }
   private val cache =
-    new ConcurrentHashMap[String, (Long, BloomFilter)]()
+    new java.util.concurrent.ConcurrentHashMap[String, Entry]()
 
-  private[crawl] def mightContain(dir: String, shards: Int, version: Long,
-                                  key: Long): Boolean = {
+  /** Static probe target of [[BloomProbeExpr]]'s generated code. A
+    * missing shard file yields TRUE — "suspect", resolved by the exact
+    * anti-join — because after [[ensure]] every shard file exists, so
+    * absence means external damage (ADVICE r2: never silently re-admit).
+    */
+  def mightContain(dir: String, shards: Int, version: Long,
+                   key: Long): Boolean = {
     val shard = java.lang.Math.floorMod(key, shards.toLong).toInt
     val ck = s"$dir#$shard"
     var e = cache.get(ck)
-    if (e == null || e._1 != version) {
-      if (cache.size() > maxCached) cache.clear()
+    if (e == null || e.version != version) {
       val p = shardPath(dir, shard)
       val bf =
         if (Files.exists(p)) {
           val in = new BufferedInputStream(Files.newInputStream(p))
           try BloomFilter.readFrom(in) finally in.close()
         } else null
-      e = (version, bf)
+      e = new Entry(version, bf)
       cache.put(ck, e)
+      if (cache.size() > maxCached) evictOldest()
+    } else {
+      val now = System.nanoTime() >> 20
+      if (e.access != now) e.access = now // write only on tick change
     }
-    e._2 != null && e._2.mightContainLong(key)
+    e.filter == null || e.filter.mightContainLong(key)
+  }
+
+  private def evictOldest(): Unit = cache.synchronized {
+    while (cache.size() > maxCached) {
+      var oldestK: String = null
+      var oldestA = Long.MaxValue
+      val it = cache.entrySet().iterator()
+      while (it.hasNext) {
+        val en = it.next()
+        if (en.getValue.access < oldestA) {
+          oldestA = en.getValue.access; oldestK = en.getKey
+        }
+      }
+      if (oldestK == null) return
+      cache.remove(oldestK)
+    }
   }
 }

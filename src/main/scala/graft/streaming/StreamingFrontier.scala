@@ -21,11 +21,14 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   *  - pending queue capped at `maxPending` (keep the best-priority
   *    entries; overflow dropped — the reference's in-memory work dict is
   *    likewise bounded at ~200, crawler.py:387);
-  *  - seen-ness is tracked as 64-bit composite hashes capped at
+  *  - seen-ness is tracked as genuine 64-bit hashes capped at
   *    `maxSeenKeys` — a BEST-EFFORT wave-local dedup in O(1) memory per
   *    key; EXACT global dedup is the batch layer's job
-  *    ([[graft.crawl.SeenSet]] anti-join), so trimming this set can only
-  *    cause a duplicate emission, never a lost URL.
+  *    ([[graft.crawl.SeenSet]] anti-join). TRIMMING can only cause a
+  *    duplicate emission; a hash COLLISION would drop a genuinely new
+  *    URL, which is why [[urlKey]] is a full-strength 64-bit hash
+  *    (collision odds ~10^-8 at the cap, vs ~30 expected pairs for a
+  *    32-bit composite).
   *
   * POLITENESS RATE (`minDelayMs`): after emitting a batch for a host the
   * state records `nextFetchTime`; candidates arriving inside the
@@ -45,12 +48,28 @@ object StreamingFrontier {
   /** priority: webnews first, then discovery sequence. */
   private def prio(c: Candidate): (Boolean, Long) = (!c.isWebnews, c.discSeq)
 
-  /** 64-bit composite key for best-effort seen tracking (murmur of the
-    * string + its length — collisions only cost a suppressed duplicate).
+  /** Genuine 64-bit hash (FNV-1a over UTF-8 bytes + avalanche finalizer)
+    * for seen tracking. NOTE the asymmetry between the two bounded-state
+    * mechanisms: TRIMMING the seen set (maxSeenKeys) can only cause a
+    * duplicate emission (the batch layer's exact anti-join catches it);
+    * a hash COLLISION would make a genuinely new URL test as seen and
+    * silently drop it — so the key must be a real 64-bit hash, where the
+    * birthday collision probability at 500k keys/host is ~10^-8, not the
+    * ~30 expected pairs a 32-bit-hash composite gives.
     */
-  private[streaming] def urlKey(u: String): Long =
-    (scala.util.hashing.MurmurHash3.stringHash(u).toLong << 32) |
-      (u.length.toLong & 0xffffffffL)
+  private[streaming] def urlKey(u: String): Long = {
+    var h = 0xcbf29ce484222325L
+    val bytes = u.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var i = 0
+    while (i < bytes.length) {
+      h = (h ^ (bytes(i) & 0xffL)) * 0x100000001b3L
+      i += 1
+    }
+    // fmix64 avalanche (MurmurHash3 finalizer) on top of FNV-1a
+    h ^= h >>> 33; h *= 0xff51afd7ed558ccdL
+    h ^= h >>> 33; h *= 0xc4ceb9fe1a85ec53L
+    h ^ (h >>> 33)
+  }
 
   def scheduleFn(budget: Int, maxPending: Int, maxSeenKeys: Int,
                  minDelayMs: Long)(

@@ -114,12 +114,31 @@ object WebGen {
     }
   }
 
-  /** canonical-redirect pages (ST5): sparse subset of news template 2 —
-    * their rel=canonical points at a synthetic alternate URL that exists
-    * nowhere else (never linked, not in the table).
+  /** canonical-redirect pages (ST5): sparse subsets of news template 2.
+    * p ≡ 7 (mod 15): rel=canonical points at a synthetic alternate URL
+    * that exists nowhere else (never linked, not in the table).
+    * p ≡ 12 (mod 15): rel=canonical points at an ORDINARY page of the
+    * same host — a target that other pages also link-discover, so the
+    * engine's pending-upgrade path (a previously-pending target upgraded
+    * to Fetched without a refetch, even when a link discovery of the
+    * same key wins the same wave's candidate dedup) is exercised against
+    * the RefSpec oracle rather than never generated.
     */
-  def hasCanonical(p: Long): Boolean = p % 5 == 2 && p % 15 == 7
-  def canonicalUrlOf(h: Int, p: Long): String = base(h) + s"/canon/alt-$p.html"
+  def hasCanonical(p: Long): Boolean =
+    p % 5 == 2 && (p % 15 == 7 || p % 15 == 12)
+  def canonicalUrlOf(h: Int, p: Long, nh: Long): String =
+    if (p % 15 == 7) base(h) + s"/canon/alt-$p.html"
+    else {
+      // deterministic in-range ordinary page: never the page itself and
+      // never a /private/ (robots-disallowed) template — canon
+      // attribution bypasses robots by design (it is a content update,
+      // not a fetch), and the test invariant "no /private/ page escapes
+      // Disallowed" should stay meaningful
+      val span = math.max(1L, nh - feedOrphans(nh))
+      var q = (7 * p + 4) % span
+      while (q == p || q % 5 == 0) q = (q + 1) % span
+      urlOf(h, q)
+    }
 
   /** Full page HTML — the link layout exercises every frontier filter:
     * relative + absolute hrefs, a tracking-query dup, a cross-host link,
@@ -133,7 +152,7 @@ object WebGen {
     sb.append("<html lang=\"it\"><head><title>").append(titleOf(h, p))
       .append("</title>")
     if (hasCanonical(p))
-      sb.append("<link rel=\"canonical\" href=\"").append(canonicalUrlOf(h, p)).append("\"/>")
+      sb.append("<link rel=\"canonical\" href=\"").append(canonicalUrlOf(h, p, nh)).append("\"/>")
     if (p == 0L) // hub advertises the host feed (S8 discovery cascade)
       sb.append("<link rel=\"alternate\" type=\"application/rss+xml\" href=\"/feed.xml\" title=\"feed\"/>")
     sb.append("</head><body>")

@@ -66,14 +66,17 @@ class CrawlSpec extends AnyFunSuite {
     }
   }
 
-  test("final seen-set, statuses, attempts, webnews bits match RefSpec") {
+  test("final seen-set, statuses, attempts, webnews, fetchWave, urlToRefer match RefSpec") {
     val (_, state, _) = sparkRun
-    val got = state.select($"ckey", $"status", $"attempts", $"isWebnews")
+    val got = state.select($"ckey", $"status", $"attempts", $"isWebnews",
+        $"fetchWave", $"urlToRefer")
       .collect()
-      .map(r => r.getString(0) -> ((r.getInt(1), r.getInt(2), r.getBoolean(3))))
+      .map(r => r.getString(0) -> ((r.getInt(1), r.getInt(2), r.getBoolean(3),
+        r.getInt(4), Option(r.getString(5)))))
       .toMap
     val want = refResult.state.map { case (ck, r) =>
-      ck -> ((r.status, r.attempts, r.isWebnews))
+      ck -> ((r.status, r.attempts, r.isWebnews, r.fetchWave,
+        Option(r.urlToRefer)))
     }
     assert(got.keySet === want.keySet)
     got.foreach { case (ck, g) => withClue(ck) { assert(g === want(ck)) } }
@@ -91,37 +94,60 @@ class CrawlSpec extends AnyFunSuite {
   }
 
   test("extracted text is byte-identical to the table's text column") {
-    val (finalWave, _, fs) = sparkRun
+    val (finalWave, state, fs) = sparkRun
     val articles = fs.readArticles(spark, finalWave).get
     val truth = spark.read.parquet(pagesPath).select($"url", $"text".as("expected"))
-    val normal = articles.filter(!$"url".contains("/canon/"))
+    // articles attributed via canonical redirect carry the REDIRECTING
+    // page's content, not the target page's own table text — identified
+    // in state as Fetched without a scheduledRank
+    val attributedUrls = state
+      .filter($"status" === Status.Fetched && $"scheduledRank" === -1L)
+      .select($"url").collect().map(_.getString(0)).toSet
+    val normal = articles.filter(!$"url".isin(attributedUrls.toSeq: _*))
     val joined = normal.join(truth, Seq("url"), "inner")
     assert(joined.count() === normal.count())
     assert(joined.filter($"text" =!= $"expected").count() === 0)
-    // canonical-attributed articles carry the redirecting page's content
-    val canon = articles.filter($"url".contains("/canon/")).collect()
-    canon.foreach { r =>
+    // attributed articles: text equals the table text of one of the pages
+    // that redirected to this target (min discovery-order winner)
+    val sourceText = spark.read.parquet(pagesPath)
+      .select($"url", $"text").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    val sourcesByTarget = state.filter($"status" === Status.Redirected)
+      .select($"urlToRefer", $"url").collect()
+      .groupBy(_.getString(0)).map { case (t, rs) =>
+        t -> rs.map(r => sourceText(r.getString(1))).toSet
+      }
+    val attributed = articles.filter($"url".isin(attributedUrls.toSeq: _*)).collect()
+    assert(attributed.nonEmpty)
+    attributed.foreach { r =>
       val url = r.getAs[String]("url")
-      val m = "https://www\\.host(\\d+)\\.example\\.com/canon/alt-(\\d+)\\.html".r
-        .findFirstMatchIn(url).get
-      val (h, p) = (m.group(1).toInt, m.group(2).toLong)
-      assert(r.getAs[String]("text") === WebGen.textOf(h, p), url)
+      withClue(url) {
+        assert(sourcesByTarget(url).contains(r.getAs[String]("text")))
+      }
     }
   }
 
-  test("canonical redirects: originals Redirected with urlToRefer, targets attributed") {
+  test("canonical redirects: originals Redirected, targets attributed; both template classes fire") {
     val (_, state, _) = sparkRun
     val redirected = state.filter($"status" === Status.Redirected).collect()
     assert(redirected.nonEmpty)
-    redirected.foreach { r =>
-      assert(r.getAs[String]("urlToRefer").contains("/canon/"))
-    }
-    val attributed = state.filter($"ckey".contains("/canon/")).collect()
-    assert(attributed.length === redirected.length)
-    attributed.foreach { r =>
+    val (alt, linked) = redirected.partition(
+      _.getAs[String]("urlToRefer").contains("/canon/"))
+    // never-linked alternate targets: every one attributed, none fetched
+    assert(alt.nonEmpty)
+    val altAttributed = state.filter($"ckey".contains("/canon/")).collect()
+    assert(altAttributed.length === alt.map(_.getAs[String]("urlToRefer")).distinct.length)
+    altAttributed.foreach { r =>
       assert(r.getAs[Int]("status") === Status.Fetched)
       assert(r.getAs[Long]("scheduledRank") === -1L)
     }
+    // ADVICE r2: canonical targets that are ALSO ordinary link targets —
+    // the pending-upgrade path must fire (some target Fetched with no
+    // scheduledRank that is NOT a /canon/ alt page)
+    assert(linked.nonEmpty)
+    val upgraded = state.filter($"status" === Status.Fetched &&
+      $"scheduledRank" === -1L && !$"ckey".contains("/canon/"))
+    assert(upgraded.count() > 0)
   }
 
   test("RSS ingestion (S8): feeds fetched, feed-only entries reach the crawl") {
@@ -173,7 +199,11 @@ class CrawlSpec extends AnyFunSuite {
     val cfg3 = crawlCfg(store3)
     CrawlJob.run(spark, cfg3, stopAfterWaves = 4)
     val fs = new FrontierStore(store3)
-    val removed = fs.expireSnapshots(keepLast = 2)
+    // bases exist at waves 0 and 4 (compactEvery = 4): keepLast = 2
+    // retains both, so nothing may be deleted (ADVICE r2: the parameter
+    // must be honored, not silently maximal)
+    assert(fs.expireSnapshots(keepLast = 2) === 0)
+    val removed = fs.expireSnapshots(keepLast = 1)
     assert(removed > 0)
     assert(fs.latestWave().get === 4)
     // latest state intact; articles append-log untouched
@@ -192,5 +222,15 @@ class CrawlSpec extends AnyFunSuite {
     assert(Robots.parse(WebGen.RobotsBody) === Seq("/private/"))
     assert(Robots.isDisallowed(Map("h.com" -> Seq("/private/")), "h.com",
       "https://www.h.com/private/doc-5.html"))
+    // RFC 9309 grouping: consecutive User-agent lines form ONE group
+    assert(Robots.parse("User-agent: a\nUser-agent: *\nDisallow: /x\n")
+      === Seq("/x"))
+    // rules between agent lines split groups: the second group is a-only
+    assert(Robots.parse(
+      "User-agent: *\nDisallow: /x\nUser-agent: a\nDisallow: /y\n")
+      === Seq("/x"))
+    // blank lines inside an agent run do not end the run
+    assert(Robots.parse("User-agent: *\n\nUser-agent: a\nDisallow: /z\n")
+      === Seq("/z"))
   }
 }
