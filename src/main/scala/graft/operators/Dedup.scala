@@ -54,7 +54,11 @@ object Dedup {
   /** MinHash+LSH near-dup candidates: band the signature (bandsize rows
     * per band), bucket-join docs sharing any band hash, then verify with
     * exact shingle Jaccard. Returns (doc_a, doc_b, jaccard) with
-    * doc_a < doc_b and jaccard ≥ threshold.
+    * doc_a < doc_b and jaccard ≥ threshold. The RETURNED DataFrame is
+    * persisted (already materialized — the operator ends with an eager
+    * action so its big shingle intermediate can be unpersisted
+    * internally); the caller owns that small cache and may `unpersist()`
+    * it when done.
     *
     * Shuffle profile: sig groupBy, one explode(bands)+self-join keyed on
     * (band_idx, band_hash) — bucket-local, never all-pairs — then a
@@ -93,7 +97,7 @@ object Dedup {
     // verify ONLY candidate pairs: per-pair shingle-set intersection via
     // array ops — never the all-pairs shingle join (which at corpus scale
     // is exactly the quadratic blowup LSH exists to avoid)
-    cand
+    val out = cand
       .join(shArr.select($"doc_id".as("doc_a"), $"sh".as("sh_a")), Seq("doc_a"))
       .join(shArr.select($"doc_id".as("doc_b"), $"sh".as("sh_b")), Seq("doc_b"))
       .withColumn("inter", size(array_intersect($"sh_a", $"sh_b")))
@@ -101,6 +105,14 @@ object Dedup {
         $"inter".cast("double") / (size($"sh_a") + size($"sh_b") - $"inter"))
       .filter($"jaccard" >= threshold)
       .select($"doc_a", $"doc_b", $"jaccard")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // the (small: pairs ≥ threshold only) RESULT is materialized eagerly
+    // so the big shingled projection can be dropped here rather than
+    // leak for the session lifetime (ADVICE r2); downstream reads the
+    // cached result — total work is unchanged
+    out.count()
+    shArr.unpersist(blocking = false)
+    out
   }
 
   /** Exact n-gram Jaccard for all pairs that share ≥1 shingle (the join
@@ -127,29 +139,83 @@ object Dedup {
   }
 
   /** N-gram Jaccard near-dup pairs within a blocking column (e.g. same
-    * source/host) — the fully SQL-expressible variant used for the
-    * DuckDB-verified query.
+    * source/host) — EXACT (all pairs with jaccard ≥ threshold, the fully
+    * SQL-expressible variant used for the DuckDB-verified query q13).
+    *
+    * Skew safety (the r2 weak spot): a naive shingle self-join inside a
+    * block is quadratic in a mega-block (one dominant source at corpus
+    * scale). Candidate generation here uses EXACT prefix filtering
+    * (AllPairs / PPJoin family, Bayardo et al. WWW'07 — public
+    * algorithm): order each doc's shingles by ascending block-frequency
+    * (ties by shingle), keep only the first `n − ⌈t·n⌉ + 1` as the
+    * doc's prefix. Any pair with jaccard ≥ t shares ≥ ⌈t·max(na,nb)⌉
+    * shingles, so their prefixes must intersect — joining PREFIXES only
+    * loses nothing (recall = 1, verified against the brute-force join in
+    * OperatorsSpec) while the join fans out on the RAREST shingles: a
+    * shingle shared by the whole mega-block has maximal frequency and
+    * never enters a prefix unless a doc is almost entirely made of such
+    * shingles (i.e. genuinely near-dup — the output itself).
+    * Verification is an exact per-candidate-pair set intersection.
     */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                         blockCol: String, shingleSize: Int,
                         threshold: Double): DataFrame = {
-    val sh = docs
+    val shArr = shingleArrays(docs, idCol, textCol, blockCol, shingleSize)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cand = prefixCandidates(shArr, threshold)
+    val out = cand
+      .join(shArr.select($"doc_id".as("doc_a"), $"sh".as("sh_a")), Seq("doc_a"))
+      .join(shArr.select($"doc_id".as("doc_b"), $"sh".as("sh_b")), Seq("doc_b"))
+      .withColumn("inter", size(array_intersect($"sh_a", $"sh_b")))
+      .withColumn("jaccard",
+        $"inter".cast("double") / (size($"sh_a") + size($"sh_b") - $"inter"))
+      .filter($"jaccard" >= threshold)
+      .select($"doc_a", $"doc_b", $"jaccard")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    out.count() // materialize the (small) result, then drop the big cache
+    shArr.unpersist(blocking = false)
+    out
+  }
+
+  /** (doc_id, blk, sh: distinct shingle array) projection shared by the
+    * prefix-filter stages.
+    */
+  private[graft] def shingleArrays(docs: DataFrame, idCol: String,
+                                   textCol: String, blockCol: String,
+                                   shingleSize: Int): DataFrame =
+    docs
       .select(col(idCol).cast("long").as("doc_id"), col(blockCol).as("blk"),
         TextOps.tokens(col(textCol)).as("toks"))
       .select($"doc_id", $"blk",
-        explode(array_distinct(TextOps.shingles($"toks", shingleSize))).as("shingle"))
-    val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("sz"))
-    val inter = sh.as("a").join(sh.as("b"),
-        col("a.blk") === col("b.blk") && col("a.shingle") === col("b.shingle") &&
+        array_distinct(TextOps.shingles($"toks", shingleSize)).as("sh"))
+
+  /** Candidate pairs by exact prefix filtering (see [[ngramJaccardPairs]]
+    * doc). Exposed for the OperatorsSpec skew test, which asserts the
+    * candidate count stays sub-quadratic on a 50%-mega-block corpus.
+    */
+  private[graft] def prefixCandidates(shArr: DataFrame,
+                                      threshold: Double): DataFrame = {
+    val sh = shArr.select($"doc_id", $"blk", explode($"sh").as("shingle"))
+    // block-local shingle frequency defines the global prefix order:
+    // rarest first, so hot (block-wide) shingles sit at the END of every
+    // doc and only enter a prefix when the doc is nearly all hot shingles
+    val freq = sh.groupBy($"blk", $"shingle").agg(count(lit(1)).as("f"))
+    val ranked = sh
+      .join(freq, Seq("blk", "shingle"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy($"doc_id").orderBy($"f", $"shingle")))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy($"doc_id")))
+      // prefix length n − ⌈t·n⌉ + 1: a qualifying pair shares
+      // ≥ ⌈t·max(na,nb)⌉ shingles, so skipping the whole prefix would cap
+      // the intersection at ⌈t·n⌉ − 1 < t·n — impossible
+      .filter($"rk" <= $"n" - ceil($"n" * threshold) + 1)
+      .select($"doc_id", $"blk", $"shingle")
+    ranked.as("a").join(ranked.as("b"),
+        col("a.blk") === col("b.blk") &&
+        col("a.shingle") === col("b.shingle") &&
         col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .agg(count(lit(1)).as("inter"))
-    inter
-      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sz", "sz_a"), "doc_a")
-      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sz", "sz_b"), "doc_b")
-      .withColumn("jaccard", $"inter".cast("double") / ($"sz_a" + $"sz_b" - $"inter"))
-      .filter($"jaccard" >= threshold)
-      .select($"doc_a", $"doc_b", $"jaccard")
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
   }
 
   /** 64-bit SimHash over term frequencies, entirely in-plan: per-(doc,term)

@@ -81,6 +81,58 @@ class OperatorsSpec extends AnyFunSuite {
     assert(recall >= 0.8, s"minhash LSH recall $recall < 0.8")
   }
 
+  test("ngram-Jaccard prefix filtering is EXACT vs the brute-force shingle join") {
+    val got = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+      blockCol = "source", shingleSize = 3, threshold = 0.4)
+    val gotSet = got.select($"doc_a", $"doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // brute force INSIDE each block: all-pairs jaccard, filtered to
+    // same-source pairs at the same threshold
+    val src = docs.select($"doc_id".cast("long").as("id"), $"source")
+    val truth = Dedup.jaccardOf(docs, "doc_id", "text", 3)
+      .join(src.withColumnRenamed("id", "doc_a").withColumnRenamed("source", "src_a"), "doc_a")
+      .join(src.withColumnRenamed("id", "doc_b").withColumnRenamed("source", "src_b"), "doc_b")
+      .filter($"src_a" === $"src_b" && $"jaccard" >= 0.4)
+      .select($"doc_a", $"doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(gotSet === truth)
+    got.unpersist(blocking = false)
+  }
+
+  test("mega-block (50% of docs in one source) stays sub-quadratic") {
+    import spark.implicits._
+    // 400 docs, 200 in one hot source; unrelated docs share the block
+    // but not rare shingles, so prefix candidates ≪ n²/2
+    val rng = new scala.util.Random(7)
+    val rows = (0 until 400).map { i =>
+      val src = if (i < 200) "mega" else s"s${i % 20}"
+      // every doc carries the same boilerplate (hot shingles) + its own
+      // unique body (rare shingles) — the realistic mega-source shape
+      val boiler = "breaking news update live coverage latest report"
+      val body = (0 until 30).map(_ => s"w${rng.nextInt(5000)}").mkString(" ")
+      (i.toLong, src, s"$boiler $body")
+    }
+    val d = rows.toDF("doc_id", "source", "text")
+    val shArr = Dedup.shingleArrays(d, "doc_id", "text", "source", 3)
+    val candCount = Dedup.prefixCandidates(shArr, 0.4).count()
+    val megaQuadratic = 200L * 199L / 2
+    assert(candCount < megaQuadratic / 10,
+      s"prefix candidates $candCount not sub-quadratic (n²/2 = $megaQuadratic)")
+    // and the operator is still exact on this corpus
+    val got = Dedup.ngramJaccardPairs(d, "doc_id", "text", "source", 3, 0.4)
+    val gotSet = got.select($"doc_a", $"doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val src = d.select($"doc_id".as("id"), $"source")
+    val truth = Dedup.jaccardOf(d, "doc_id", "text", 3)
+      .join(src.withColumnRenamed("id", "doc_a").withColumnRenamed("source", "src_a"), "doc_a")
+      .join(src.withColumnRenamed("id", "doc_b").withColumnRenamed("source", "src_b"), "doc_b")
+      .filter($"src_a" === $"src_b" && $"jaccard" >= 0.4)
+      .select($"doc_a", $"doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(gotSet === truth)
+    got.unpersist(blocking = false)
+  }
+
   test("embedding near-dup LSH recall ≥ 0.6 vs exact cosine pairs") {
     val approx = Similarity.cosineNearDupPairs(emb, "vec_id", "embedding",
       dim = 64, bits = 4, threshold = 0.2)
