@@ -129,10 +129,12 @@ object Bench {
   private lazy val cpusEnv = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
 
   private lazy val benchWebCfg = WebGen.Config(
-    // size the web to the machine: the quarter-cores run must finish its
-    // measured waves in minutes even at small core counts
+    // size the web to the machine: big enough that every host still has
+    // ≥ budget pending pages through the last measured wave (flat waves
+    // of ~budget × hosts), small enough that the smallest-cores run
+    // finishes its measured waves in minutes
     nPages = sys.env.get("SPARK_GRAFT_BENCH_PAGES").map(_.toLong)
-      .getOrElse(math.max(100000L, 75000L * cpusEnv)),
+      .getOrElse(math.max(100000L, 168000L * cpusEnv)),
     nHosts = sys.env.getOrElse("SPARK_GRAFT_BENCH_HOSTS", "512").toInt,
     megaShare = 0.05)
 
@@ -140,7 +142,7 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = cpusEnv
     val waves = sys.env.getOrElse("SPARK_GRAFT_BENCH_WAVES", "8").toInt
-    val budget = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET", "1000").toInt
+    val budget = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET", "1200").toInt
 
     val headline = Seq(
       "q01_pricing_summary", "q05_join_agg", "q08_exact_dedup",

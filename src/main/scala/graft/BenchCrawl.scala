@@ -27,8 +27,16 @@ object BenchCrawl {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.local.dir", s"$workRoot/spark_local_$tag")
       .config("spark.ui.enabled", "false")
+      // Crawl waves shuffle O(wave) rows across ≤ `cores` partitions —
+      // the regime where AQE's per-exchange job materialization costs
+      // more scheduling latency than its runtime re-planning saves
+      // (measured: delta-commit 4.3 s → 2.2 s/wave, whole window −15%).
+      // The engine itself is AQE-agnostic; big-cluster deployments with
+      // skewed 10^4-partition shuffles should leave AQE on.
+      .config("spark.sql.adaptive.enabled", "false")
       .getOrCreate()
-    s.sparkContext.setLogLevel("WARN")
+    s.sparkContext.setLogLevel(
+      if (sys.env.contains("GRAFT_LOGINFO")) "INFO" else "WARN")
     s
   }
 

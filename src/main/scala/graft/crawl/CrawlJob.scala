@@ -161,14 +161,20 @@ object CrawlJob {
               cfg: Config, probe: Option[Column => Column]): WaveResult = {
     import spark.implicits._
 
+    val timing = sys.env.contains("GRAFT_TIMING")
+    def timed[A](tag: String)(f: => A): A = {
+      val t0 = System.nanoTime()
+      val r = f
+      if (timing) System.err.println(
+        f"[timing] wave $wave $tag ${(System.nanoTime() - t0) / 1e9}%.2fs")
+      r
+    }
+
     // 1. politeness window over the pending view (all pending rows are
     // eligible by construction: attempts≥max rows were finalized)
     val waveSet = Scheduler.selectWave(pending, cfg.hostBudget)
       .persist(StorageLevel.DISK_ONLY)
-    val tSched = System.nanoTime()
-    val scheduled = waveSet.count()
-    if (sys.env.contains("GRAFT_TIMING")) System.err.println(
-      f"[timing] wave $wave sched ${(System.nanoTime() - tSched) / 1e9}%.2fs")
+    val scheduled = timed("sched")(waveSet.count())
 
     // 2. fetch join; ckey string equality guards hash collisions. A
     // WARC-style table may carry multiple captures per url — collapse to
@@ -186,25 +192,37 @@ object CrawlJob {
         coalesce($"warc_ts", to_timestamp(lit("1970-01-01")))).as("r"))
       .select(col("urlKey") +: col("ckey") +: joinedCols.map(c => col(s"r.$c")): _*)
 
-    // 3. parse (F1-F21 inside PageParse; per-row error containment)
-    val parsed = joined.filter($"html".isNotNull)
+    // 3. parse (F1-F21 inside PageParse; per-row error containment).
+    // Fetch MISSES (html null) ride through as isMiss rows instead of
+    // being re-derived later via a waveSet ∖ parsed anti-join — one
+    // fewer join stage (and broadcast build) in the wave-commit plan.
+    val parsed = joined
       .select($"urlKey", $"ckey", $"url", $"host", $"hostRank",
         $"isWebnews", $"discWave", $"parentRank", $"linkIdx", $"attempts",
         $"scheduledRank", $"html")
       .as[(Long, String, String, String, Int, Boolean, Int, Long, Int, Int, Long, Array[Byte])]
       .mapPartitions { it =>
         it.map { case (k, ck, u, h, hr, wn, dw, pr, li, at, rk, html) =>
-          val p = PageParse.parse(html, u, wn)
-          // ST5: canonical disagreement → redirect (crawler.py:102-106)
-          val redirectTo =
-            if (p.canonical != null && p.canonical.nonEmpty &&
-                !UrlOps.areEqualsUrls(p.canonical, u)) p.canonical else null
-          FetchedPage(k, ck, u, h, hr, wn, dw, pr, li, at, rk, p.title,
-            p.text, p.language, p.publishDate, p.authors, p.videos,
-            p.sections, p.topImage, p.isWebnewsMeta, redirectTo, p.links)
+          if (html == null)
+            FetchedPage(k, ck, u, h, hr, wn, dw, pr, li, at, rk,
+              null, null, null, null, null, null, null, null,
+              isWebnewsMeta = false, redirectTo = null, links = Nil,
+              isMiss = true)
+          else {
+            val p = PageParse.parse(html, u, wn)
+            // ST5: canonical disagreement → redirect (crawler.py:102-106)
+            val redirectTo =
+              if (p.canonical != null && p.canonical.nonEmpty &&
+                  !UrlOps.areEqualsUrls(p.canonical, u)) p.canonical else null
+            FetchedPage(k, ck, u, h, hr, wn, dw, pr, li, at, rk, p.title,
+              p.text, p.language, p.publishDate, p.authors, p.videos,
+              p.sections, p.topImage, p.isWebnewsMeta, redirectTo, p.links,
+              isMiss = false)
+          }
         }
       }
       .persist(StorageLevel.DISK_ONLY)
+    val hits = parsed.filter(!$"isMiss")
 
     // 4. frontier expansion: links (document order) ∪ canonical targets
     // (linkIdx = -1), one shared dedup on the discovery total order
@@ -215,7 +233,7 @@ object CrawlJob {
     // small, shuffled join at 10^8 hosts — never a driver-held map)
     val disallowedUdf = udf((prefixes: Seq[String], url: String) =>
       prefixes != null && Robots.isDisallowedBy(prefixes, url))
-    val linkCand = parsed
+    val linkCand = hits
       .select($"host", $"hostRank", $"scheduledRank".as("parentRank"),
         posexplode($"links").as(Seq("linkIdx", "url")))
       .withColumn("ckey", ckeyOf($"url"))
@@ -230,7 +248,7 @@ object CrawlJob {
       .withColumn("fetchWave", lit(-1))
     // ST5: canonical targets enter as already-Fetched rows (reference:
     // INSERT OR IGNORE + immediate scraped=1 content update)
-    val canonCand = parsed.filter($"redirectTo".isNotNull)
+    val canonCand = hits.filter($"redirectTo".isNotNull)
       .select($"redirectTo".as("url"), $"host", $"hostRank",
         $"scheduledRank".as("parentRank"))
       .withColumn("linkIdx", lit(-1))
@@ -269,8 +287,10 @@ object CrawlJob {
     // PRE-dedup canonCand keys, deliberately: RefSpec checks the state
     // map BEFORE the wave-local candidates dedup (RefSpec.scala:89-98),
     // so a pending target must upgrade even when an earlier-ordered LINK
-    // discovery of the same key wins the candidates min_by.
-    val canonKeys = canonCand.select($"urlKey", $"ckey").distinct()
+    // discovery of the same key wins the candidates min_by. (No distinct:
+    // the left_semi join tolerates duplicate keys on its build side,
+    // saving an aggregate stage.)
+    val canonKeys = canonCand.select($"urlKey", $"ckey")
     val upgrades = pending
       .join(canonKeys, Seq("urlKey", "ckey"), "left_semi")
       .join(waveSet.select($"urlKey", $"ckey"), Seq("urlKey", "ckey"), "left_anti")
@@ -280,17 +300,15 @@ object CrawlJob {
 
     // 6. outcomes of the scheduled rows (no full-state join: every field
     // rode along through the politeness window and the parse)
-    val hitOutcomes = parsed.select($"urlKey", $"ckey", $"url", $"host",
+    val hitOutcomes = hits.select($"urlKey", $"ckey", $"url", $"host",
       $"hostRank", $"isWebnews", $"discWave", $"parentRank", $"linkIdx",
       when($"redirectTo".isNotNull, lit(Status.Redirected))
         .otherwise(lit(Status.Fetched)).as("status"),
       $"attempts", lit(wave).as("fetchWave"), $"scheduledRank",
       $"redirectTo".as("urlToRefer"))
-    // misses = scheduled ∖ parsed, derived from the (small, persisted)
-    // waveSet — so the fetch join's html payload is never materialized
-    // outside the parse stage
-    val missBase = waveSet
-      .join(parsed.select($"urlKey", $"ckey"), Seq("urlKey", "ckey"), "left_anti")
+    // misses rode through the parse stage as isMiss rows — a cached-side
+    // filter, not a waveSet anti-join
+    val missBase = parsed.filter($"isMiss")
       .select($"urlKey", $"ckey", $"url", $"host",
       $"hostRank", $"isWebnews", $"discWave", $"parentRank", $"linkIdx",
       ($"attempts" + 1).as("attempts"))
@@ -325,11 +343,11 @@ object CrawlJob {
       $"title", $"text", $"language", $"publishDate", $"authors",
       $"videos", $"sections", $"topImage", $"isWebnewsMeta",
       size($"links").as("nLinks"))
-    val ownArticles = parsed.filter($"redirectTo".isNull)
+    val ownArticles = hits.filter($"redirectTo".isNull)
       .select(Seq($"urlKey", $"url", $"host", lit(wave).as("fetchWave")) ++ articleCols: _*)
     val redirectTargetKeys = attributedNew.select($"urlKey")
       .unionByName(upgrades.select($"urlKey"))
-    val redirectArticles = parsed.filter($"redirectTo".isNotNull)
+    val redirectArticles = hits.filter($"redirectTo".isNotNull)
       .withColumn("curl", $"redirectTo")
       .withColumn("tkey", xxhash64(ckeyOf($"curl")))
       .groupBy($"tkey")
@@ -351,8 +369,13 @@ object CrawlJob {
     // recompute it (measured: the parse pipeline ran 3× inside one wave,
     // 350 CPU-s each, showing up as random 60-170 s wave spikes). Two
     // cheap actions pin the cache exactly once; they double as metrics.
-    val fetchedCount = parsed.count()
-    val newCount = newEntries.count()
+    // With AQE OFF exchanges materialize inside one sequential job, so
+    // the newEntries count alone pins parsed+cand+newEntries and the
+    // separate parse count is skipped in lean mode (one fewer job/wave).
+    val aqeOn = spark.conf.get("spark.sql.adaptive.enabled", "true").toBoolean
+    val fetchedCount =
+      if (cfg.lean && !aqeOn) -1L else timed("parse")(hits.count())
+    val newCount = timed("newent")(newEntries.count())
     // remaining metrics are pure cached-side derivations (lean skips)
     val candCount = if (cfg.lean) -1L else cand.count()
     val disallowedCount = if (cfg.lean) -1L else newDisallowed.count()
@@ -362,7 +385,7 @@ object CrawlJob {
       scheduled = scheduled,
       fetched = fetchedCount,
       failedFinal = failedFinal,
-      retried = scheduled - fetchedCount,
+      retried = if (fetchedCount < 0) -1L else scheduled - fetchedCount,
       newLinks = newCount,
       dupLinks = if (cfg.lean) -1L else candCount - newCount,
       disallowed = disallowedCount,
@@ -441,6 +464,14 @@ object CrawlJob {
           store.compact(spark, wave)
         val np = store.pendingView(spark, wave)
           .persist(StorageLevel.DISK_ONLY)
+        if (sys.env.contains("GRAFT_TIMING")) {
+          // timing-only eager action: attributes the pending-view build
+          // to its own line instead of the next wave's sched
+          val t0 = System.nanoTime()
+          np.count()
+          System.err.println(
+            f"[timing] wave $wave pview ${(System.nanoTime() - t0) / 1e9}%.2fs")
+        }
         r.cached.foreach(_.unpersist(blocking = false))
         prevPending = Some(pending)
         pending = np

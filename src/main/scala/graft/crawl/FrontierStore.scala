@@ -105,11 +105,20 @@ class FrontierStore(val root: String) {
       r
     }
     timed("delta") {
+      // the union of per-kind branches carries sum-of-branch partitions
+      // (~10× the shuffle width) of mostly-tiny outputs; coalescing to
+      // the session shuffle width keeps the write at one task per core
+      // and ~10× fewer files to commit/list — measured as the largest
+      // core-count-invariant slice of the wave (task launch + commit
+      // rename are serial costs)
+      val width = math.max(1,
+        spark.conf.get("spark.sql.shuffle.partitions", "32").toInt)
       outcomes.withColumn("_kind", lit("o"))
         .unionByName(pendadd.withColumn("_kind", lit("p")))
         .unionByName(padKeys(keys, outcomes).withColumn("_kind", lit("k")))
         .unionByName(articles.withColumn("_kind", lit("a")),
           allowMissingColumns = true)
+        .coalesce(width)
         .write.partitionBy("_kind").mode(SaveMode.Overwrite).parquet(deltaPath(wave))
     }
     timed("precommit")(preCommit()) // Bloom update: superset-safe before _LATEST
@@ -152,12 +161,14 @@ class FrontierStore(val root: String) {
   }
 
   // _kind subdirs share the union superset schema; slice back to the
-  // per-kind column set on read
+  // per-kind column set on read. Schemas are passed explicitly so no
+  // read pays a footer-inference job (deltaSchema is fixed by the
+  // commit-write contract above).
   def readOutcomes(spark: SparkSession, w: Int): DataFrame =
-    spark.read.parquet(outcomesPath(w))
+    spark.read.schema(FrontierSchema.deltaSchema).parquet(outcomesPath(w))
       .select(FrontierSchema.stateColNames.map(col): _*)
   def readPendadd(spark: SparkSession, w: Int): DataFrame =
-    spark.read.parquet(pendaddPath(w))
+    spark.read.schema(FrontierSchema.deltaSchema).parquet(pendaddPath(w))
       .select(FrontierSchema.stateColNames.map(col): _*)
 
   /** Newest compacted base at or below `wave`. */
@@ -171,7 +182,7 @@ class FrontierStore(val root: String) {
     */
   def pendingView(spark: SparkSession, wave: Int): DataFrame = {
     val b = latestBase(wave)
-    val base = spark.read.parquet(basePath(b))
+    val base = spark.read.schema(FrontierSchema.stateSchema).parquet(basePath(b))
     if (b == wave) base
     else {
       val tagged = base.withColumn("_w", lit(b)).withColumn("_term", lit(false)) +:
@@ -205,10 +216,13 @@ class FrontierStore(val root: String) {
     (pendingView(spark, wave) +: terminal).reduce(_ unionByName _)
   }
 
-  /** All urlKeys ever entered (the seen set), as of `wave`. */
+  /** All urlKeys ever entered (the seen set), as of `wave`. The explicit
+    * single-column schema both skips footer inference and prunes the
+    * padded columns at the scan.
+    */
   def allKeys(spark: SparkSession, wave: Int): DataFrame = {
     val dirs = (0 to wave).map(keysPath).filter(exists)
-    spark.read.parquet(dirs: _*)
+    spark.read.schema(FrontierSchema.keySchema).parquet(dirs: _*)
   }
 
   /** Rewrite the pending view as a new base at `wave` (Iceberg
@@ -262,7 +276,7 @@ class FrontierStore(val root: String) {
   def readArticles(spark: SparkSession, wave: Int): Option[DataFrame] = {
     val dirs = (0 to wave).map(articlesPath).filter(exists)
     if (dirs.isEmpty) None
-    else Some(spark.read.parquet(dirs: _*)
+    else Some(spark.read.schema(FrontierSchema.deltaSchema).parquet(dirs: _*)
       .select(FrontierSchema.articleColNames.map(col): _*))
   }
 }

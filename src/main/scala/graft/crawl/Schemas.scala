@@ -68,19 +68,61 @@ case class FetchedPage(urlKey: Long, ckey: String, url: String,
     title: String, text: String, language: String, publishDate: String,
     authors: Seq[String], videos: Seq[String], sections: Seq[String],
     topImage: String, isWebnewsMeta: Boolean, redirectTo: String,
-    links: Seq[String])
+    links: Seq[String],
+    /** true = the fetch join MISSED (no capture for this url): the row
+      * carries only its scheduling fields and feeds the retry fold —
+      * riding in the parse output keeps misses out of a separate
+      * anti-join stage in the wave-commit plan
+      */
+    isMiss: Boolean)
 
 /** Column lists shared by the crawl job and the delta store (the store
   * slices the single per-wave partitioned write back into state rows vs
   * article rows by column set).
   */
 object FrontierSchema {
+  import org.apache.spark.sql.types._
+
   val stateColNames: Seq[String] = Seq("urlKey", "ckey", "url", "host",
     "hostRank", "isWebnews", "discWave", "parentRank", "linkIdx", "status",
     "attempts", "fetchWave", "scheduledRank", "urlToRefer")
   val articleColNames: Seq[String] = Seq("urlKey", "url", "host",
     "fetchWave", "title", "text", "language", "publishDate", "authors",
     "videos", "sections", "topImage", "isWebnewsMeta", "nLinks")
+
+  /** Schema of a compacted pending base (exactly the state columns). */
+  val stateSchema: StructType = StructType(Seq(
+    StructField("urlKey", LongType), StructField("ckey", StringType),
+    StructField("url", StringType), StructField("host", StringType),
+    StructField("hostRank", IntegerType),
+    StructField("isWebnews", BooleanType),
+    StructField("discWave", IntegerType),
+    StructField("parentRank", LongType), StructField("linkIdx", IntegerType),
+    StructField("status", IntegerType), StructField("attempts", IntegerType),
+    StructField("fetchWave", IntegerType),
+    StructField("scheduledRank", LongType),
+    StructField("urlToRefer", StringType)))
+
+  /** Superset schema of every `_kind` slice of a wave delta (state cols ∪
+    * article-only cols — the single partitioned write's union schema).
+    * Passing it explicitly to every store read skips parquet
+    * schema-inference footer jobs — a measured per-wave driver cost that
+    * grows with the delta-dir count.
+    */
+  val deltaSchema: StructType = StructType(stateSchema.fields ++ Seq(
+    StructField("title", StringType), StructField("text", StringType),
+    StructField("language", StringType),
+    StructField("publishDate", StringType),
+    StructField("authors", ArrayType(StringType)),
+    StructField("videos", ArrayType(StringType)),
+    StructField("sections", ArrayType(StringType)),
+    StructField("topImage", StringType),
+    StructField("isWebnewsMeta", BooleanType),
+    StructField("nLinks", IntegerType)))
+
+  /** Keys-log projection (urlKey only — the seen-set join side). */
+  val keySchema: StructType =
+    StructType(Seq(StructField("urlKey", LongType)))
 }
 
 /** Per-wave metrics, written into the snapshot manifest (the Spark-native
