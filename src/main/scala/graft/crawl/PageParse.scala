@@ -21,10 +21,14 @@ object PageParse {
                     isWebnewsMeta: Boolean, publishDate: String,
                     authors: List[String], videos: List[String],
                     sections: List[String], topImage: String,
-                    canonical: String, language: String)
+                    canonical: String, language: String,
+                    /** S5: filtered third-party resources, from the SAME
+                      * DOM parse as the extraction (no second parse).
+                      */
+                    resources: List[String])
 
   val Empty: Parsed = Parsed(null, "", Nil, isWebnewsMeta = false, null,
-    Nil, Nil, Nil, "", "", null)
+    Nil, Nil, Nil, "", "", null, Nil)
 
   def parse(htmlBytes: Array[Byte], url: String,
             isWebnews: Boolean): Parsed = {
@@ -41,7 +45,7 @@ object PageParse {
         if (UrlOps.isValidUrl(cleaned)) seen += cleaned
       }
       return Parsed(null, "", seen.toList, isWebnewsMeta = false, null,
-        Nil, Nil, Nil, "", "", null)
+        Nil, Nil, Nil, "", "", null, Nil)
     }
     val domain = UrlOps.getPrincipalDomain(url)
     // Per-row error containment: the reference's lxml is a recovering
@@ -59,7 +63,8 @@ object PageParse {
         ++= e.inLinks ++= e.feedLinks).toList
       Parsed(e.title, e.text, links, e.isNewsMeta, e.publishDate,
         e.authors, e.videos, e.sections, e.topImage, e.canonicalLink,
-        e.language)
+        e.language,
+        graft.operators.Resources.filterThirdParty(e.resourceLinks, url))
     } catch {
       case scala.util.control.NonFatal(_) => Empty
     }

@@ -45,7 +45,15 @@ object ArticleExtractor {
       canonicalLink: String,
       isNewsMeta: Boolean,
       inLinks: List[String],
-      feedLinks: List[String])
+      feedLinks: List[String],
+      /** RAW resource-attribute urls (img/script/iframe/source/embed src,
+        * stylesheet href) in document order, collected from the SAME
+        * parse — so a HAR-style harvest (S5) never re-parses a page the
+        * extractor already parsed. Filtering (cross-domain, filetype,
+        * social blocklist) is the consumer's job
+        * ([[graft.operators.Resources.filterThirdParty]]).
+        */
+      resourceLinks: List[String])
 
   private val TextFormatTags = Seq("b", "strong", "i", "em", "mark",
     "small", "del", "ins", "sub", "sup") // extractor.py:26
@@ -71,6 +79,11 @@ object ArticleExtractor {
     val htmlSource = rawHtml.split("\\s+").filter(_.nonEmpty).mkString(" ")
     val tree = Dom.parse(htmlSource)
     val body = Explorer.getElementsByTags(tree, Seq("body")).head
+
+    // S5 resource candidates: harvested NOW — before F4 rewrites hrefs
+    // and _last_clean pops script/style nodes — so the result is
+    // identical to a standalone walk of the freshly-parsed tree
+    val resourceLinks = collectResourceCandidates(tree)
 
     // F2 (extractor.py:379-386)
     var language: String = {
@@ -146,7 +159,7 @@ object ArticleExtractor {
     val runArticle = isWebnews || isNewsMeta || NewsUrl.isNewsUrl(url)
     if (!runArticle)
       return Extracted(null, "", language, null, Nil, Nil, Nil, "", "",
-        isNewsMeta, inLinks, feedLinks)
+        isNewsMeta, inLinks, feedLinks, resourceLinks)
 
     // ---- _last_clean (extractor.py:92-111) ----
     for (e <- Explorer.getElementsByTags(body, TextFormatTags)) e.dropTag()
@@ -205,7 +218,32 @@ object ArticleExtractor {
       canonicalLink = canonical,
       isNewsMeta = isNewsMeta,
       inLinks = inLinks,
-      feedLinks = feedLinks)
+      feedLinks = feedLinks,
+      resourceLinks = resourceLinks)
+  }
+
+  private val ResAttrByTag = Map(
+    "img" -> "src", "script" -> "src", "iframe" -> "src",
+    "source" -> "src", "embed" -> "src")
+
+  /** Document-order resource-attribute urls of a parsed tree (S5 source
+    * set — custom_webbrowser.py:171-196's network log, table-world).
+    * Shared by the fused extract path above and the standalone
+    * [[graft.operators.Resources.harvestResources]] so both walk the
+    * same definition.
+    */
+  def collectResourceCandidates(tree: Dom): List[String] = {
+    val out = mutable.ListBuffer.empty[String]
+    for (e <- tree.iter) {
+      val attr = ResAttrByTag.get(e.tag).orNull
+      val href =
+        if (attr != null) e.attrs.getOrElse(attr, null)
+        else if (e.tag == "link" &&
+          e.attrs.get("rel").contains("stylesheet")) e.attrs.getOrElse("href", null)
+        else null
+      if (href != null) out += href
+    }
+    out.toList
   }
 
   /** extractors.py:441-464 meta cascade + urljoin(article_url, img). */

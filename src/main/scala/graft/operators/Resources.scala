@@ -35,38 +35,39 @@ object Resources {
   private val SocialDomains = Set("facebook.com", "facebook.it",
     "youtube.it", "youtube.com", "twitter.it", "twitter.com")
   private val DropFiletypes = Set("jpg", "png", "jpeg")
-  private val ResTags = Map(
-    "img" -> "src", "script" -> "src", "iframe" -> "src",
-    "source" -> "src", "embed" -> "src")
 
-  /** get_har filter semantics (custom_webbrowser.py:171-196) over the
-    * DOM's resource attributes: valid URL ∧ NOT same-domain ∧ filetype ∉
-    * {jpg,png,jpeg} ∧ domain ∉ social blocklist; set-dedup.
+  /** get_har FILTER semantics (custom_webbrowser.py:171-196) over raw
+    * resource-attribute urls: valid URL ∧ NOT same-domain ∧ filetype ∉
+    * {jpg,png,jpeg} ∧ domain ∉ social blocklist; set-dedup, order kept.
+    * The candidate WALK lives in the extract layer
+    * ([[graft.extract.ArticleExtractor.collectResourceCandidates]]) so a
+    * page the extractor already parsed yields its resources from that
+    * same parse (PageParse.Parsed.resources) — harvest never re-parses.
     */
-  def harvestResources(html: String, pageUrl: String): List[String] = {
+  def filterThirdParty(candidates: List[String], pageUrl: String): List[String] = {
     val domain = UrlOps.getDomain(pageUrl)
     val urls = scala.collection.mutable.LinkedHashSet.empty[String]
+    for (href <- candidates if UrlOps.isValidUrl(href)) {
+      val crossDomain = domain == null || !UrlOps.isDomainLink(href, domain)
+      val ft = UrlOps.getFiletypeFromUrl(href)
+      if (crossDomain && (ft == null || !DropFiletypes.contains(ft)) &&
+          !SocialDomains.exists(d => UrlOps.isDomainLink(href, d)))
+        urls += href
+    }
+    urls.toList
+  }
+
+  /** Standalone harvest from raw html (one parse). Pipelines that run the
+    * extractor should read `PageParse.Parsed.resources` instead — zero
+    * extra parses there.
+    */
+  def harvestResources(html: String, pageUrl: String): List[String] =
     try {
       val collapsed = html.split("\\s+").filter(_.nonEmpty).mkString(" ")
       val tree = graft.extract.Dom.parse(collapsed)
-      for (e <- tree.iter) {
-        val attr = ResTags.get(e.tag).orNull
-        val href =
-          if (attr != null) e.attrs.getOrElse(attr, null)
-          else if (e.tag == "link" &&
-            e.attrs.get("rel").contains("stylesheet")) e.attrs.getOrElse("href", null)
-          else null
-        if (href != null && UrlOps.isValidUrl(href)) {
-          val crossDomain = domain == null || !UrlOps.isDomainLink(href, domain)
-          val ft = UrlOps.getFiletypeFromUrl(href)
-          if (crossDomain && (ft == null || !DropFiletypes.contains(ft)) &&
-              !SocialDomains.exists(d => UrlOps.isDomainLink(href, d)))
-            urls += href
-        }
-      }
-    } catch { case scala.util.control.NonFatal(_) => () }
-    urls.toList
-  }
+      filterThirdParty(
+        graft.extract.ArticleExtractor.collectResourceCandidates(tree), pageUrl)
+    } catch { case scala.util.control.NonFatal(_) => Nil }
 
   /** J3/J4 — page↔resource edge table from a pages DataFrame with
     * (url, html). Returns (pageKey, resKey, resUrl) edges, deduped; the

@@ -37,6 +37,28 @@ class HarSpec extends AnyFunSuite {
     assert(got.count(_ == "https://tracker.example.org/t.js") === 1)
   }
 
+  test("fused harvest: PageParse.parse yields the SAME resources from its single DOM parse") {
+    val html =
+      """<html><head>
+        |<link rel="stylesheet" href="https://cdn.example.net/style.css"/>
+        |</head><body>
+        |<p>Some article text to push the page over the 200-char extraction
+        |gate; the resource walk runs before href rewriting and cleanup.</p>
+        |<script src="https://tracker.example.org/t.js"></script>
+        |<script src="https://www.host0.example.com/own.js"></script>
+        |<img src="https://images.example.net/pic.webp"/>
+        |<iframe src="https://www.youtube.com/embed/x"></iframe>
+        |</body></html>""".stripMargin
+    val viaParse = graft.crawl.PageParse
+      .parse(html.getBytes("UTF-8"), pageUrl, isWebnews = false).resources
+    val standalone = Resources.harvestResources(html, pageUrl)
+    assert(viaParse === standalone)
+    assert(viaParse === List(
+      "https://cdn.example.net/style.css",
+      "https://tracker.example.org/t.js",
+      "https://images.example.net/pic.webp"))
+  }
+
   test("adblock rules: ||host^, substring, *wildcard*, @@exception, comments") {
     val rules = AdRules(Seq(
       "! a comment",
