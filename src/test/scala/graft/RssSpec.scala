@@ -2,7 +2,7 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.extract.{Dom, RssDiscovery}
+import graft.extract.{Dom, RssDiscovery, RssParse}
 
 /** RSS feed discovery (S8): link-alternate first, then .xml anchors,
   * then rss/feed anchors (extractor.py:136-158 cascade order).
@@ -39,5 +39,69 @@ class RssSpec extends AnyFunSuite {
     val feeds = RssDiscovery.extractFeeds(tree, url).map(_._1)
     assert(feeds.contains("https://www.host0.example.com/rss-news.html"))
     assert(feeds.contains(s"$url/relative/feed"))
+  }
+
+  // ---- feed-body parsing (StAX path + regex fallback) ----
+
+  test("multiline RSS 2.0 with CDATA title and entity in link") {
+    val body =
+      """<?xml version="1.0" encoding="UTF-8"?>
+        |<rss version="2.0">
+        |  <channel>
+        |    <title>chan</title>
+        |    <item>
+        |      <title><![CDATA[A & B <news>]]></title>
+        |      <link>https://x.example.com/a?p=1&amp;q=2</link>
+        |      <pubDate>Mon, 01 Jan 2024 00:00:00 GMT</pubDate>
+        |    </item>
+        |    <item>
+        |      <title>plain</title>
+        |      <link>https://x.example.com/b</link>
+        |    </item>
+        |  </channel>
+        |</rss>""".stripMargin
+    assert(RssParse.entries(body) === List(
+      RssParse.Entry("A & B <news>", "https://x.example.com/a?p=1&q=2",
+        "Mon, 01 Jan 2024 00:00:00 GMT"),
+      RssParse.Entry("plain", "https://x.example.com/b", null)))
+  }
+
+  test("namespaced Atom: rel=alternate href wins over rel=self; source/media subtrees never shadow") {
+    val body =
+      """<?xml version="1.0"?>
+        |<feed xmlns="http://www.w3.org/2005/Atom" xmlns:media="http://search.yahoo.com/mrss/">
+        |  <title>feed-title</title>
+        |  <entry>
+        |    <source>
+        |      <title>origin-feed</title>
+        |      <link rel="alternate" href="https://origin.example.com/"/>
+        |      <updated>1999</updated>
+        |    </source>
+        |    <media:title>thumb caption</media:title>
+        |    <link rel="self" href="https://x.example.com/self"/>
+        |    <link rel="alternate" href="https://x.example.com/article"/>
+        |    <title>real title</title>
+        |    <published>2024-05-01T00:00:00Z</published>
+        |  </entry>
+        |</feed>""".stripMargin
+    assert(RssParse.entries(body) === List(
+      RssParse.Entry("real title", "https://x.example.com/article",
+        "2024-05-01T00:00:00Z")))
+  }
+
+  test("malformed markup degrades to the regex scan") {
+    // unclosed <channel> + stray & make this non-well-formed XML
+    val body = "<rss version=\"2.0\"><channel>" +
+      "<item><title>t1 & t2</title><link>https://x.example.com/m</link>" +
+      "<pubDate>d</pubDate></item>"
+    assert(RssParse.entries(body) === List(
+      RssParse.Entry("t1 & t2", "https://x.example.com/m", "d")))
+  }
+
+  test("regex fallback unwraps CDATA like the XML path") {
+    val body = "<rss><channel><item><title><![CDATA[cd title]]></title>" +
+      "<link>https://x.example.com/c</link></item>" // unclosed channel/rss
+    assert(RssParse.entries(body) === List(
+      RssParse.Entry("cd title", "https://x.example.com/c", null)))
   }
 }
