@@ -324,6 +324,23 @@ object SparkEntry {
           $"country", $"state", $"status")
     }),
 
+    // Real-image metadata probe (javax.imageio header read) over MIXED
+    // payloads: even doc_ids carry a genuine JDK-encoded PNG, odd ones
+    // the synthetic GIMG layout — the oracle pins the encode→probe
+    // round trip (a misread IHDR would shift every even width/height)
+    "q29_image_probe" -> ((s, dir) => {
+      val enc = udf((id: Long) =>
+        if (id % 2 == 0)
+          Multimodal.encodeRealPng(4 + (id % 9).toInt, 3 + (id % 7).toInt, id)
+        else
+          Multimodal.encodeFakeImage(8 + (id % 8).toInt, 8 + (id % 5).toInt, id))
+      val payloads = t(s, dir, "documents")
+        .select($"doc_id", enc($"doc_id").as("payload"))
+      Multimodal.features(payloads, "doc_id", "payload").toDF()
+        .select($"id", $"format", $"width", $"height",
+          $"nFrames".cast("long").as("n_frames"))
+    }),
+
     // Article extraction as a queryable operator over a deterministic
     // synthetic web SIZED BY the scale-factor dir (rows-only;
     // byte-identity is covered by sbt test). lineitem's row count is the
@@ -581,6 +598,16 @@ object SparkEntry {
         |  CAST(1 AS BIGINT) AS n_frames,
         |  CAST(12 + (8 + doc_id % 8) * (8 + doc_id % 5) AS BIGINT) AS n_bytes,
         |  CAST(12 + ((8 + doc_id % 8) // 2) * ((8 + doc_id % 5) // 2) AS BIGINT) AS resized_bytes
+        |FROM documents""".stripMargin,
+
+    "q29_image_probe" ->
+      """SELECT doc_id AS id,
+        |  CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'image' END AS format,
+        |  CAST(CASE WHEN doc_id % 2 = 0 THEN 4 + doc_id % 9
+        |            ELSE 8 + doc_id % 8 END AS INTEGER) AS width,
+        |  CAST(CASE WHEN doc_id % 2 = 0 THEN 3 + doc_id % 7
+        |            ELSE 8 + doc_id % 5 END AS INTEGER) AS height,
+        |  CAST(1 AS BIGINT) AS n_frames
         |FROM documents""".stripMargin,
   )
 }

@@ -179,7 +179,7 @@ object ArticleExtractor {
       metaLang = language.substring(0, 2).toLowerCase
     // update_language(meta_lang) iff the stopword file exists
     if (metaLang != null && StopWords.available(metaLang)) extractorLang = metaLang
-    val stop = new StopWords(extractorLang)
+    var stop = new StopWords(extractorLang)
 
     // All metadata getters are PURE READS (no tree mutation), so they
     // run against the cleaned tree directly — BEFORE the gravity scorer
@@ -190,6 +190,22 @@ object ArticleExtractor {
     // allocates GB/s at crawl scale and the two per-page tree copies
     // were its largest single source.
     var title = Extractors.getTitle(tree)
+    // F2 fallback (article.py:125-130): every lang meta absent → detect
+    // the language from the title. The reference calls statistical
+    // langdetect (utils.py:307-315); this engine uses the deterministic
+    // TextOps.langId heuristic — a DOCUMENTED divergence (same trigger,
+    // same adoption rule, different classifier). Adopted only when the
+    // stopword file exists (update_language, extractors.py:64-77), and
+    // BEFORE date/best-node extraction, like the reference's
+    // update_language-before-calculate_best_node ordering.
+    if (metaLang == null && title != null && title.nonEmpty) {
+      val det = graft.functions.TextOps.langId(title)
+      if (det != "und" && StopWords.available(det)) {
+        metaLang = det
+        extractorLang = det
+        stop = new StopWords(det)
+      }
+    }
     val authors = Extractors.getAuthors(tree)
     val canonical = Extractors.getCanonicalLink(url, tree)
     val publishDate = Extractors.getPublishingDate(url, tree, extractorLang)

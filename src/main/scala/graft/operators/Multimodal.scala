@@ -6,11 +6,12 @@ import org.apache.spark.sql.functions._
 
 /** Multimodal columns: image/audio/video as opaque `binary` with typed
   * metadata. The Spark-side plumbing — schema, per-partition batch
-  * processing, feature columns, partitioning — is real; the codec step is
-  * a DETERMINISTIC STUB (this container ships no image/audio libraries):
-  * payloads use the synthetic `GIMG`/`GVID` header layout below, and
-  * [[decodeMeta]] is the seam where a real decoder (JavaCPP/FFmpeg,
-  * ImageIO) drops in.
+  * processing, feature columns, partitioning — is real. REAL images
+  * (PNG/JPEG/GIF/BMP) are probed with the JDK's `javax.imageio` header
+  * readers (width/height/format without pixel decode); audio/video and
+  * the synthetic `GIMG`/`GVID` layout below remain a DETERMINISTIC STUB
+  * (no A/V codec libraries in this container), with [[decodeMeta]] as
+  * the seam where a full decoder (JavaCPP/FFmpeg) drops in.
   *
   * At cluster scale the iterator-based mapPartitions shape matches the
   * Arrow-batch style of `mapInPandas`: one decode context per partition,
@@ -46,11 +47,51 @@ object Multimodal {
   case class MediaMeta(format: String, width: Int, height: Int,
                        nFrames: Int, nBytes: Long)
 
-  /** STUB decode: parses the synthetic header. A real build replaces this
-    * body with an actual codec probe — the call sites and schema stay.
+  /** File-signature sniff for the real image formats the JDK can probe. */
+  private def realImageFormat(b: Array[Byte]): String = {
+    if (b.length >= 8 && (b(0) & 0xff) == 0x89 && b(1) == 'P' &&
+      b(2) == 'N' && b(3) == 'G') "png"
+    else if (b.length >= 3 && (b(0) & 0xff) == 0xff &&
+      (b(1) & 0xff) == 0xd8 && (b(2) & 0xff) == 0xff) "jpeg"
+    else if (b.length >= 6 && b(0) == 'G' && b(1) == 'I' && b(2) == 'F' &&
+      b(3) == '8') "gif"
+    else if (b.length >= 2 && b(0) == 'B' && b(1) == 'M') "bmp"
+    else null
+  }
+
+  /** Header-only `javax.imageio` probe: width/height from the format
+    * header without decoding pixels, memory-cached stream (no temp
+    * files on executors). Null when no reader accepts the bytes.
+    */
+  private def probeImageIO(bytes: Array[Byte], fmt: String): MediaMeta = {
+    val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    try {
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      if (!readers.hasNext) return null
+      val r = readers.next()
+      try {
+        r.setInput(iis, true, true) // seekForwardOnly, ignoreMetadata
+        MediaMeta(fmt, r.getWidth(0), r.getHeight(0), 1, bytes.length.toLong)
+      } finally r.dispose()
+    } catch {
+      case scala.util.control.NonFatal(_) => null
+    } finally iis.close()
+  }
+
+  /** Typed metadata probe. Real images (PNG/JPEG/GIF/BMP) go through the
+    * `javax.imageio` header readers; `GIMG`/`GVID` payloads parse the
+    * synthetic layout (the declared A/V codec seam); anything else —
+    * including a corrupt real-image header — is `unknown`.
     */
   def decodeMeta(bytes: Array[Byte]): MediaMeta = {
     if (bytes == null || bytes.length < 12) return MediaMeta("unknown", -1, -1, 0, if (bytes == null) 0L else bytes.length.toLong)
+    val realFmt = realImageFormat(bytes)
+    if (realFmt != null) {
+      val m = probeImageIO(bytes, realFmt)
+      return if (m != null) m
+      else MediaMeta("unknown", -1, -1, 0, bytes.length.toLong)
+    }
     val magic = bytes.take(4)
     val w = readIntBe(bytes, 4); val h = readIntBe(bytes, 8)
     if (magic.sameElements(ImageMagic))
@@ -59,6 +100,29 @@ object Multimodal {
       val frame = math.max(1, w * h)
       MediaMeta("video", w, h, (bytes.length - 12) / frame, bytes.length.toLong)
     } else MediaMeta("unknown", -1, -1, 0, bytes.length.toLong)
+  }
+
+  /** A real PNG (8-bit gray, deterministic pixels) via the JDK encoder —
+    * exercises the genuine encode→probe round trip in specs and q29.
+    */
+  def encodeRealPng(width: Int, height: Int, seed: Long): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(width, height,
+      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val raster = img.getRaster
+    var z = seed
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) {
+        z = z * 6364136223846793005L + 1442695040888963407L
+        raster.setSample(x, y, 0, ((z >>> 56) & 0xff).toInt)
+        x += 1
+      }
+      y += 1
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
   }
 
   /** Byte-histogram Shannon entropy — pure integer counting + one final

@@ -35,6 +35,17 @@ class ExtractSpec extends AnyFunSuite {
       "https://www.host0.example.com/a.html", isWebnews = false).links.isEmpty)
   }
 
+  test("F2 fallback: no lang metas -> language detected from the title (article.py:125-130)") {
+    val html = s"""<html><head><title>The cat sat on the mat with the dog</title></head>
+      |<body><div><p>$P1</p></div></body></html>""".stripMargin
+    val e = ext(html)
+    assert(e.language === "en")
+    // a lang attribute still wins over detection
+    val html2 = s"""<html lang="it"><head><title>The cat sat on the mat with the dog</title></head>
+      |<body><div><p>$P1</p></div></body></html>""".stripMargin
+    assert(ext(html2).language === "it")
+  }
+
   test("gravity scoring elects the paragraph parent; text joins children with spaces") {
     val html = s"""<html lang="it"><head><title>Prova | Il Giornale</title></head>
       |<body><nav><a href="/index.html">home</a></nav>

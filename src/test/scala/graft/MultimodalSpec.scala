@@ -24,6 +24,24 @@ class MultimodalSpec extends AnyFunSuite {
     assert(Multimodal.decodeMeta("XXXXaaaabbbbcc".getBytes).format === "unknown")
   }
 
+  test("real PNG bytes probe via javax.imageio: format/width/height") {
+    val png = Multimodal.encodeRealPng(37, 23, seed = 99L)
+    // genuine PNG signature, not the synthetic layout
+    assert((png(0) & 0xff) === 0x89 && png(1) === 'P'.toByte)
+    val m = Multimodal.decodeMeta(png)
+    assert(m.format === "png")
+    assert(m.width === 37 && m.height === 23)
+    assert(m.nFrames === 1 && m.nBytes === png.length.toLong)
+    // determinism: same (w, h, seed) -> same bytes -> same meta
+    assert(java.util.Arrays.equals(png, Multimodal.encodeRealPng(37, 23, 99L)))
+  }
+
+  test("corrupt real-image header -> unknown, not a crash") {
+    val png = Multimodal.encodeRealPng(8, 8, seed = 1L)
+    val cut = png.take(8) ++ Array.fill[Byte](8)(0x7f) // signature, no IHDR
+    assert(Multimodal.decodeMeta(cut).format === "unknown")
+  }
+
   test("entropy is deterministic and bounded [0,8]") {
     val img = Multimodal.encodeFakeImage(32, 32, seed = 7L)
     val e1 = Multimodal.byteEntropy(img)
