@@ -75,8 +75,10 @@ object ArticleExtractor {
     if (filetype != null) url = url.substring(0, url.length - (filetype.length + 1))
     val scheme = UrlOps.getScheme(url)
 
-    // F1: whitespace collapse
-    val htmlSource = rawHtml.split("\\s+").filter(_.nonEmpty).mkString(" ")
+    // F1: whitespace collapse — one pass, byte-identical to
+    // split("\\s+").filter(_.nonEmpty).mkString(" ") (regex \s is the
+    // six ASCII whitespace chars) without the per-page token array
+    val htmlSource = collapseWhitespace(rawHtml)
     val tree = Dom.parse(htmlSource)
     val body = Explorer.getElementsByTags(tree, Seq("body")).head
 
@@ -248,6 +250,33 @@ object ArticleExtractor {
     * [[graft.operators.Resources.harvestResources]] so both walk the
     * same definition.
     */
+  /** Java-regex `\s` (the six ASCII whitespace chars — no Unicode
+    * classes without the UNICODE_CHARACTER_CLASS flag).
+    */
+  private def isRegexSpace(c: Char): Boolean =
+    c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
+
+  /** Single-pass equivalent of
+    * `s.split("\\s+").filter(_.nonEmpty).mkString(" ")`: maximal
+    * non-whitespace runs joined by one space, leading/trailing
+    * whitespace dropped.
+    */
+  private def collapseWhitespace(s: String): String = {
+    val sb = new java.lang.StringBuilder(s.length)
+    var pendingSpace = false
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (isRegexSpace(c)) { if (sb.length > 0) pendingSpace = true }
+      else {
+        if (pendingSpace) { sb.append(' '); pendingSpace = false }
+        sb.append(c)
+      }
+      i += 1
+    }
+    sb.toString
+  }
+
   def collectResourceCandidates(tree: Dom): List[String] = {
     val out = mutable.ListBuffer.empty[String]
     for (e <- tree.iter) {

@@ -55,18 +55,23 @@ final class Dom(var tag: String) {
     out.toList
   }
 
-  /** document-order iteration including self (lxml .iter()). */
-  def iter: Iterator[Dom] = Iterator(this) ++ children.iterator.flatMap(_.iter)
+  /** document-order iteration including self (lxml .iter()).
+    *
+    * Explicit-stack iterator: the extraction pipeline walks each tree
+    * ~10× (language/meta scans, link harvest, gravity, cleanup) and the
+    * chained per-node `Iterator ++ flatMap` version allocated O(nodes)
+    * iterator states per walk — at crawl scale that garbage was a
+    * measurable share of the parse path's DRAM-bandwidth bill.
+    */
+  def iter: Iterator[Dom] = new Dom.TreeIter(this)
 
-  def descendants: Iterator[Dom] = children.iterator.flatMap(_.iter)
+  def descendants: Iterator[Dom] = { val it = iter; it.next(); it }
 
-  /** lxml .itertext(): text, then per child (child.itertext, child.tail). */
-  def itertext: Iterator[String] = {
-    val self = if (text != null && text.nonEmpty) Iterator(text) else Iterator.empty
-    self ++ children.iterator.flatMap { c =>
-      c.itertext ++ (if (c.tail != null && c.tail.nonEmpty) Iterator(c.tail) else Iterator.empty)
-    }
-  }
+  /** lxml .itertext(): text, then per child (child.itertext, child.tail).
+    * Same explicit-stack shape as [[iter]]; the root's own tail is never
+    * emitted, matching lxml.
+    */
+  def itertext: Iterator[String] = new Dom.TextIter(this)
 
   /** lxml drop_tag(): remove this element, splicing text/children/tail
     * into the parent at this position.
@@ -110,6 +115,77 @@ final class Dom(var tag: String) {
 }
 
 object Dom {
+
+  /** Document-order (pre-order) walk over one array-backed stack. */
+  private final class TreeIter(root: Dom) extends Iterator[Dom] {
+    private[this] var stack = new Array[Dom](32)
+    private[this] var top = 1
+    stack(0) = root
+
+    def hasNext: Boolean = top > 0
+
+    def next(): Dom = {
+      top -= 1
+      val node = stack(top)
+      val cs = node.children
+      val m = cs.length
+      if (m > 0) {
+        if (top + m > stack.length) grow(top + m)
+        var k = m - 1
+        while (k >= 0) { stack(top) = cs(k); top += 1; k -= 1 }
+      }
+      node
+    }
+
+    private def grow(min: Int): Unit = {
+      val ns = new Array[Dom](math.max(stack.length * 2, min))
+      System.arraycopy(stack, 0, ns, 0, top)
+      stack = ns
+    }
+  }
+
+  /** Iterative itertext: stack holds Dom nodes to expand and String
+    * tails to emit; child/tail pairs are pushed in reverse so pops
+    * replay lxml's text → (child subtree, child tail)* order.
+    */
+  private final class TextIter(root: Dom) extends Iterator[String] {
+    private[this] var stack = new Array[AnyRef](32)
+    private[this] var top = 1
+    stack(0) = root
+    private[this] var pending: String = _
+    advance()
+
+    def hasNext: Boolean = pending != null
+
+    def next(): String = { val r = pending; advance(); r }
+
+    private def advance(): Unit = {
+      pending = null
+      while (pending == null && top > 0) {
+        top -= 1
+        stack(top) match {
+          case s: String => pending = s
+          case d: Dom =>
+            val cs = d.children
+            var k = cs.length - 1
+            if (top + 2 * (k + 1) > stack.length) grow(top + 2 * (k + 1))
+            while (k >= 0) {
+              val c = cs(k)
+              if (c.tail != null && c.tail.nonEmpty) { stack(top) = c.tail; top += 1 }
+              stack(top) = c; top += 1
+              k -= 1
+            }
+            if (d.text != null && d.text.nonEmpty) pending = d.text
+        }
+      }
+    }
+
+    private def grow(min: Int): Unit = {
+      val ns = new Array[AnyRef](math.max(stack.length * 2, min))
+      System.arraycopy(stack, 0, ns, 0, top)
+      stack = ns
+    }
+  }
 
   val VoidTags: Set[String] = Set("area", "base", "br", "col", "embed", "hr",
     "img", "input", "link", "meta", "param", "source", "track", "wbr")
@@ -218,8 +294,17 @@ object Dom {
       expect('>')
       if (selfClose || VoidTags.contains(tag)) return node
       if (RawTextTags.contains(tag)) {
+        // case-insensitive scan for "</tag" without lowercasing (and
+        // re-allocating) the remaining document per raw-text element
         val close = s"</$tag"
-        val e = s.toLowerCase.indexOf(close, i)
+        var e = -1
+        var j = i
+        val limit = n - close.length
+        while (e < 0 && j <= limit) {
+          if (s.charAt(j) == '<' &&
+            s.regionMatches(true, j, close, 0, close.length)) e = j
+          else j += 1
+        }
         val end = if (e < 0) n else e
         node.text = s.substring(i, end)
         i = end

@@ -50,9 +50,33 @@ object Explorer {
     if (clean) cleanText(sb.toString) else sb.toString
   }
 
+  /** Java-regex `\s`: the six ASCII whitespace chars. */
+  private def isRegexSpace(c: Char): Boolean =
+    c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
+
+  /** Single-pass `split("\\s+").filter(_.nonEmpty).mkString(" ")`:
+    * called per candidate node in gravity scoring — the regex-split
+    * token array was hot-path garbage at crawl scale.
+    */
+  private def collapseWs(s: String): String = {
+    val sb = new java.lang.StringBuilder(s.length)
+    var pendingSpace = false
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (isRegexSpace(c)) { if (sb.length > 0) pendingSpace = true }
+      else {
+        if (pendingSpace) { sb.append(' '); pendingSpace = false }
+        sb.append(c)
+      }
+      i += 1
+    }
+    sb.toString
+  }
+
   /** explorer.py:415-418. */
   def cleanText(value: String): String =
-    if (value == null) "" else value.split("\\s+").filter(_.nonEmpty).mkString(" ")
+    if (value == null) "" else collapseWs(value)
 
   /** explorer.py:251-257. */
   def getTextWithoutChild(node: Dom, clean: Boolean = true): String = {
@@ -159,23 +183,23 @@ object Explorer {
   /** explorer.py:270-288. */
   def getTextWithCount(node: Dom, tagsToIgnore: Set[String],
                        clean: Boolean): (String, Int) = {
-    var result = ""
+    val result = new java.lang.StringBuilder
     var count = 0
     if (tagsToIgnore != null) {
       node.iter.foreach { elem =>
         if (!tagsToIgnore.contains(elem.tag) && elem.text != null) {
           var text = elem.text
-          if (clean) text = text.split("\\s+").filter(_.nonEmpty).mkString(" ")
-          if (text.length > 1) { result += " " + text; count += 1 }
+          if (clean) text = collapseWs(text)
+          if (text.length > 1) { result.append(' ').append(text); count += 1 }
         }
       }
     } else {
       node.itertext.foreach { t0 =>
-        val t = t0.split("\\s+").filter(_.nonEmpty).mkString(" ")
-        if (t.length > 1) { result += " " + t; count += 1 }
+        val t = collapseWs(t0)
+        if (t.length > 1) { result.append(' ').append(t); count += 1 }
       }
     }
-    (result, count)
+    (result.toString, count)
   }
 
   /** explorer.py:290-308 (tags branch over node.iter). */
