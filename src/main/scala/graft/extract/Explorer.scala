@@ -51,7 +51,7 @@ object Explorer {
   }
 
   /** Java-regex `\s`: the six ASCII whitespace chars. */
-  private def isRegexSpace(c: Char): Boolean =
+  private[extract] def isRegexSpace(c: Char): Boolean =
     c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
 
   /** Single-pass `split("\\s+").filter(_.nonEmpty).mkString(" ")`:
@@ -72,6 +72,21 @@ object Explorer {
       i += 1
     }
     sb.toString
+  }
+
+  /** Count of maximal non-`\s` runs of length ≥ minLen — equivalent to
+    * `s.split("\\s+").count(w => w.length >= minLen)` for minLen ≥ 1,
+    * without the token array (per-node gravity/formatter hot path).
+    */
+  private[extract] def countTokens(s: String, minLen: Int): Int = {
+    var i = 0; var c = 0; var run = 0
+    while (i < s.length) {
+      if (isRegexSpace(s.charAt(i))) { if (run >= minLen) c += 1; run = 0 }
+      else run += 1
+      i += 1
+    }
+    if (run >= minLen) c += 1
+    c
   }
 
   /** explorer.py:415-418. */
@@ -237,9 +252,19 @@ final class StopWords(language: String) {
   def stopwordCount(content: String): (Int, Int) = {
     if (content == null || content.isEmpty) return (0, 0)
     val stripped = removePunctuation(content).toLowerCase
-    val cand = stripped.split(" ", -1)
+    // split(" ", -1) semantics without the token array: tokens are the
+    // substrings between single-space delimiters, empties included
     var c = 0; var stops = 0
-    cand.foreach { w => c += 1; if (stopWords.contains(w)) stops += 1 }
+    var start = 0; var i = 0
+    val n = stripped.length
+    while (i <= n) {
+      if (i == n || stripped.charAt(i) == ' ') {
+        c += 1
+        if (stopWords.contains(stripped.substring(start, i))) stops += 1
+        start = i + 1
+      }
+      i += 1
+    }
     (c, stops)
   }
 }

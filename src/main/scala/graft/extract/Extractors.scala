@@ -394,11 +394,28 @@ object Extractors {
     val links = Explorer.getElementsByTagName(e, tag = "a")
     if (links.isEmpty) return false
     val text = Explorer.getText(e)
-    val words = text.split(" ", -1).filter(w => w.nonEmpty && w.forall(_.isLetterOrDigit))
-    if (words.isEmpty) return true
-    val wordsNumber = words.length.toDouble
+    // count of split(" ", -1) tokens that are nonEmpty && all
+    // letter-or-digit, without the token array (per-candidate-node path)
+    var wordsCount = 0
+    locally {
+      var i = 0; var run = 0; var alnum = true
+      while (i < text.length) {
+        val ch = text.charAt(i)
+        if (ch == ' ') {
+          if (run > 0 && alnum) wordsCount += 1
+          run = 0; alnum = true
+        } else {
+          run += 1
+          if (!Character.isLetterOrDigit(ch)) alnum = false
+        }
+        i += 1
+      }
+      if (run > 0 && alnum) wordsCount += 1
+    }
+    if (wordsCount == 0) return true
+    val wordsNumber = wordsCount.toDouble
     val linkText = links.map(Explorer.getText(_)).mkString("")
-    val numLinkWords = linkText.split("\\s+").count(_.nonEmpty).toDouble
+    val numLinkWords = Explorer.countTokens(linkText, 1).toDouble
     val numLinks = links.length.toDouble
     val score = (numLinkWords / wordsNumber) * numLinks
     score >= 1.0

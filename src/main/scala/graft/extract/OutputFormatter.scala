@@ -123,18 +123,19 @@ object NavHunter {
         val (textTagTmp, tagCountTmp) =
           Explorer.getTextWithCount(insignificantE, ImportantTags, clean = false)
         val links = Explorer.getLinks(insignificantE, Set("a"))
-        var anchorTextTmp = ""
+        val anchorTextBuf = new java.lang.StringBuilder
         var anchorCountTmp = 0
         for (l <- links) {
           val (t, c) = Explorer.getTextWithCount(l, ImportantTags, clean = false)
-          anchorTextTmp += t; anchorCountTmp += c
+          anchorTextBuf.append(t); anchorCountTmp += c
         }
+        val anchorTextTmp = anchorTextBuf.toString
         tagCount += tagCountTmp
         tagTextLength += textTagTmp.length
         anchorCount += anchorCountTmp
         anchorTextLength += anchorTextTmp.length
-        wordCount += textTagTmp.split("\\s+").count(w => w.length > 1)
-        anchorWordCount += anchorTextTmp.split("\\s+").count(_.nonEmpty)
+        wordCount += Explorer.countTokens(textTagTmp, 2)
+        anchorWordCount += Explorer.countTokens(anchorTextTmp, 1)
       }
       var tagCountRatio = 0.0
       var textLengthRatio = 0.0
