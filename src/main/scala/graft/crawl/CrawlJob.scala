@@ -5,6 +5,8 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
+import graft.functions.StableConst.stableInt
+
 /** The distributed crawl: batch-iterative frontier waves over the input
   * pages table (BASELINE.json input_hint shape), replacing the reference's
   * threads+SQLite loop (/root/reference/crawling_tools/crawler.py:65-88)
@@ -176,15 +178,26 @@ object CrawlJob {
       .persist(StorageLevel.DISK_ONLY)
     val scheduled = timed("sched")(waveSet.count())
 
-    // 2. fetch join; ckey string equality guards hash collisions. A
-    // WARC-style table may carry multiple captures per url — collapse to
-    // the latest warc_ts. The groupBy keys equal the join keys, so
-    // Catalyst reuses the join's partitioning: no extra shuffle.
+    // 2. fetch join, STORAGE-PARTITIONED: the join key is the single
+    // bucket key `urlKey`, so the pages side — bucketed on urlKey (the
+    // persisted cache / a bucketed catalog table) — streams IN PLACE:
+    // only the O(wave) frontier side shuffles, and the SHUFFLE_HASH hint
+    // builds on that small side (a sort-merge plan would re-sort the
+    // whole pages table every wave). ckey string equality — the 64-bit
+    // hash-collision guard — moves to a post-join predicate: a
+    // same-urlKey different-ckey row demotes to a MISS, exactly the
+    // no-match outcome of the former two-key join. A WARC-style table may
+    // carry multiple captures per url — collapse to the latest warc_ts;
+    // the grouping keys start with the join key, so Catalyst reuses the
+    // join's partitioning: no extra shuffle.
     val joinedCols = waveSet.columns.filterNot(c => c == "urlKey" || c == "ckey") ++
       Seq("warc_ts", "html")
-    val joined = waveSet.join(
-        pages.select($"urlKey", $"ckey", $"warc_ts", $"html"),
-        Seq("urlKey", "ckey"), "left")
+    val ckMatch = $"pckey".isNotNull && $"pckey" === $"ckey"
+    val joined = waveSet.hint("SHUFFLE_HASH")
+      .join(pages.select($"urlKey", $"ckey".as("pckey"), $"warc_ts", $"html"),
+        Seq("urlKey"), "left")
+      .withColumn("warc_ts", when(ckMatch, $"warc_ts"))
+      .withColumn("html", when(ckMatch, $"html"))
       .groupBy($"urlKey", $"ckey")
       // coalesce: a join MISS has warc_ts null, and max_by over an
       // all-null ordering returns null — misses must survive as rows
@@ -256,7 +269,7 @@ object CrawlJob {
       .withColumn("urlKey", xxhash64($"ckey"))
       .withColumn("isWebnews", GraftUdfs.isNews($"url"))
       .withColumn("status", lit(Status.Fetched))
-      .withColumn("fetchWave", lit(wave))
+      .withColumn("fetchWave", stableInt(wave))
     val candColOrder = Seq("urlKey", "ckey", "url", "host", "hostRank",
       "isWebnews", "parentRank", "linkIdx", "status", "fetchWave").map(col)
     val cand = linkCand.select(candColOrder: _*)
@@ -267,7 +280,7 @@ object CrawlJob {
           $"linkIdx", $"status", $"fetchWave"),
         struct($"hostRank", $"parentRank", $"linkIdx")).as("r"))
       .select($"urlKey", $"ckey", $"r.url", $"r.host", $"r.hostRank",
-        $"r.isWebnews", lit(wave).as("discWave"), $"r.parentRank",
+        $"r.isWebnews", stableInt(wave).as("discWave"), $"r.parentRank",
         $"r.linkIdx", $"r.status", lit(0).as("attempts"), $"r.fetchWave",
         lit(-1L).as("scheduledRank"),
         lit(null).cast("string").as("urlToRefer"))
@@ -290,12 +303,16 @@ object CrawlJob {
     // discovery of the same key wins the candidates min_by. (No distinct:
     // the left_semi join tolerates duplicate keys on its build side,
     // saving an aggregate stage.)
-    val canonKeys = canonCand.select($"urlKey", $"ckey")
+    // broadcast the canon keys: they are O(redirects this wave) — tiny —
+    // while `pending` is O(frontier); a shuffled semi-join here moved the
+    // whole frontier twice per wave (measured ~35 core-s/wave at the
+    // bench geometry for a usually-empty result)
+    val canonKeys = broadcast(canonCand.select($"urlKey", $"ckey"))
     val upgrades = pending
       .join(canonKeys, Seq("urlKey", "ckey"), "left_semi")
       .join(waveSet.select($"urlKey", $"ckey"), Seq("urlKey", "ckey"), "left_anti")
       .withColumn("status", lit(Status.Fetched))
-      .withColumn("fetchWave", lit(wave))
+      .withColumn("fetchWave", stableInt(wave))
       .select(stateCols: _*)
 
     // 6. outcomes of the scheduled rows (no full-state join: every field
@@ -304,7 +321,7 @@ object CrawlJob {
       $"hostRank", $"isWebnews", $"discWave", $"parentRank", $"linkIdx",
       when($"redirectTo".isNotNull, lit(Status.Redirected))
         .otherwise(lit(Status.Fetched)).as("status"),
-      $"attempts", lit(wave).as("fetchWave"), $"scheduledRank",
+      $"attempts", stableInt(wave).as("fetchWave"), $"scheduledRank",
       $"redirectTo".as("urlToRefer"))
     // misses rode through the parse stage as isMiss rows — a cached-side
     // filter, not a waveSet anti-join
@@ -344,7 +361,7 @@ object CrawlJob {
       $"videos", $"sections", $"topImage", $"isWebnewsMeta",
       size($"links").as("nLinks"))
     val ownArticles = hits.filter($"redirectTo".isNull)
-      .select(Seq($"urlKey", $"url", $"host", lit(wave).as("fetchWave")) ++ articleCols: _*)
+      .select(Seq($"urlKey", $"url", $"host", stableInt(wave).as("fetchWave")) ++ articleCols: _*)
     val redirectTargetKeys = attributedNew.select($"urlKey")
       .unionByName(upgrades.select($"urlKey"))
     val redirectArticles = hits.filter($"redirectTo".isNotNull)
@@ -357,7 +374,7 @@ object CrawlJob {
       .join(redirectTargetKeys.withColumnRenamed("urlKey", "tkey"),
         Seq("tkey"), "left_semi")
       .select($"tkey".as("urlKey"), $"r.curl".as("url"), $"r.host",
-        lit(wave).as("fetchWave"), $"r.title", $"r.text", $"r.language",
+        stableInt(wave).as("fetchWave"), $"r.title", $"r.text", $"r.language",
         $"r.publishDate", $"r.authors", $"r.videos", $"r.sections",
         $"r.topImage", $"r.isWebnewsMeta", $"r.nLinks")
     val articles = ownArticles.unionByName(redirectArticles)
@@ -395,23 +412,46 @@ object CrawlJob {
       metrics, Seq(waveSet, parsed, cand, newEntries))
   }
 
+  /** The keyed pages table bucketed on the join key and persisted — the
+    * local stand-in for an Iceberg bucket-partitioned table: ONE shuffle
+    * for the whole crawl (not one per wave), and every wave's fetch join
+    * co-locates by shuffling only its O(wave) frontier side to the fixed
+    * bucket layout. A FIXED bucket count (like a real bucketed table's)
+    * keeps the layout independent of the session's shuffle width, so
+    * differently-sized clusters resume the same crawl without a re-bucket.
+    * DISK_ONLY: the columnar cache batches live in spark.local.dir, off
+    * the heap — html bytes never become long-lived GC load.
+    */
+  def bucketedPages(spark: SparkSession, cfg: Config,
+                    buckets: Int = 64): DataFrame =
+    keyedPages(spark, cfg)
+      .repartition(buckets, $"urlKey")
+      .persist(StorageLevel.DISK_ONLY)
+
   /** Full crawl (or resume from the latest committed wave). Returns the
     * final committed wave id.
+    *
+    * `sharedPages` / `sharedRules`: pre-built (already persisted) inputs
+    * reused ACROSS run() calls in one session — resumes then skip the
+    * per-run re-bucket/rescan entirely, like jobs sharing one catalog
+    * table. The caller owns their lifecycle.
     */
   def run(spark: SparkSession, cfg: Config,
-          stopAfterWaves: Int = Int.MaxValue): Int = {
+          stopAfterWaves: Int = Int.MaxValue,
+          sharedPages: Option[DataFrame] = None,
+          sharedRules: Option[DataFrame] = None): Int = {
     val store = new FrontierStore(cfg.storeRoot)
     val nShuffle = spark.conf.get("spark.sql.shuffle.partitions").toInt
     // one upfront shuffle of the pages table on the join key, reused by
     // every wave's fetch join (Iceberg-bucketed-table stand-in)
-    val pages0 = keyedPages(spark, cfg)
-    val pages =
-      if (cfg.cachePages)
-        pages0.repartition(nShuffle, $"urlKey")
-          .persist(StorageLevel.MEMORY_AND_DISK)
-      else pages0
-    val rules = robotsRulesDf(spark, cfg)
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val ownsPages = sharedPages.isEmpty && cfg.cachePages
+    val pages = sharedPages.getOrElse {
+      if (cfg.cachePages) bucketedPages(spark, cfg, math.max(nShuffle, 64))
+      else keyedPages(spark, cfg)
+    }
+    val ownsRules = sharedRules.isEmpty
+    val rules = sharedRules.getOrElse(
+      robotsRulesDf(spark, cfg).persist(StorageLevel.MEMORY_AND_DISK))
 
     var wave = store.latestWave().getOrElse {
       val init = initState(spark, cfg)
@@ -432,9 +472,6 @@ object CrawlJob {
 
     var pending = store.pendingView(spark, wave)
       .persist(StorageLevel.DISK_ONLY)
-    // the previous wave's pending stays cached until the successor is
-    // materialized (the successor's incremental plan reads it)
-    var prevPending: Option[DataFrame] = None
     var wavesRun = 0
     var exhausted = false
     while (!exhausted && wavesRun < stopAfterWaves && wave < cfg.maxWaves) {
@@ -442,10 +479,6 @@ object CrawlJob {
       val seenKeys = store.allKeys(spark, wave)
       val r = runWave(spark, pending, seenKeys, pages, rules, wave, cfg,
         bloom.map(_.probe(wave)))
-      // runWave's first action materialized `pending`; its predecessor
-      // can go now
-      prevPending.foreach(_.unpersist(blocking = false))
-      prevPending = None
       if (r.scheduled == 0) {
         r.cached.foreach(_.unpersist(blocking = false))
         exhausted = true
@@ -455,37 +488,60 @@ object CrawlJob {
           preCommit = () => bloom.foreach(_.update(r.keys)))
         wave += 1
         wavesRun += 1
-        // pending view for the next wave: base ⊕ committed deltas (one
-        // bounded-by-compaction shuffle of O(pending) — measured faster
-        // than an incremental broadcast-anti-join, whose removal-key
-        // broadcast carries ckey strings and stalls at discovery-peak
-        // waves). Reading the COMMITTED files keeps resume bit-equal.
+        // next wave's frontier, maintained INCREMENTALLY from this wave's
+        // cached outputs: remove every key this wave touched (outcomes ∪
+        // pendadd are disjoint and cover exactly the touched keys — the
+        // FrontierStore contract), then add the pendadd upserts. Set-equal
+        // to store.pendingView(wave) by induction, without re-scanning the
+        // committed state: the per-wave cost is one O(frontier)
+        // shuffled-hash anti-join against an O(wave) build side, instead
+        // of a parquet scan + O(frontier) max_by shuffle. Resume still
+        // derives the view from the committed files (bit-equal rows).
+        val touched = r.outcomes.select($"urlKey", $"ckey")
+          .unionByName(r.pendadd.select($"urlKey", $"ckey"))
+          .hint("SHUFFLE_HASH")
+        val tPv = System.nanoTime()
+        // eager localCheckpoint, NOT persist: it truncates the lineage to
+        // the materialized partitions. A plain persist keeps the logical
+        // plan, so each wave's view would NEST the previous wave's whole
+        // pipeline — plan size grows without bound and Catalyst
+        // re-optimization time blows up within a few waves (measured:
+        // minutes of silent driver time per AQE stage by wave 2).
+        val np = pending
+          .join(touched, Seq("urlKey", "ckey"), "left_anti")
+          .unionByName(r.pendadd)
+          .localCheckpoint(true, StorageLevel.DISK_ONLY)
+        if (sys.env.contains("GRAFT_TIMING")) System.err.println(
+          f"[timing] wave $wave pview ${(System.nanoTime() - tPv) / 1e9}%.2fs")
+        // periodic base rewrite straight from the materialized view (the
+        // delta chain stays short for resumers without an O(state) re-read)
         if (cfg.compactEvery > 0 && wave % cfg.compactEvery == 0)
-          store.compact(spark, wave)
-        val np = store.pendingView(spark, wave)
-          .persist(StorageLevel.DISK_ONLY)
-        if (sys.env.contains("GRAFT_TIMING")) {
-          // timing-only eager action: attributes the pending-view build
-          // to its own line instead of the next wave's sched
-          val t0 = System.nanoTime()
-          np.count()
-          System.err.println(
-            f"[timing] wave $wave pview ${(System.nanoTime() - t0) / 1e9}%.2fs")
-        }
+          store.compactFrom(np, wave)
         r.cached.foreach(_.unpersist(blocking = false))
-        prevPending = Some(pending)
+        freePending(pending)
         pending = np
         System.err.println(f"[crawl] wave ${wave - 1} committed in ${(System.nanoTime() - t0) / 1e9}%.2fs" +
           (if (cfg.lean) ""
            else s" (scheduled=${r.metrics.scheduled} fetched=${r.metrics.fetched} new=${r.metrics.newLinks})"))
       }
     }
-    prevPending.foreach(_.unpersist(blocking = false))
-    pending.unpersist(blocking = false)
-    rules.unpersist(blocking = false)
-    if (cfg.cachePages) pages.unpersist(blocking = false)
+    freePending(pending)
+    if (ownsRules) rules.unpersist(blocking = false)
+    if (ownsPages) pages.unpersist(blocking = false)
     wave
   }
+
+  /** Drop a no-longer-referenced frontier view's storage: a
+    * locally-checkpointed view holds its data as persisted RDD blocks
+    * (Dataset.unpersist cannot reach them — they are not in the SQL cache
+    * manager), a store-derived view is a normal cached Dataset.
+    */
+  private def freePending(df: DataFrame): Unit =
+    df.queryExecution.logical match {
+      case l: org.apache.spark.sql.execution.LogicalRDD =>
+        l.rdd.unpersist(blocking = false)
+      case _ => df.unpersist(blocking = false)
+    }
 }
 
 /** UDF handles shared by crawl stages (constructed once, serializable). */

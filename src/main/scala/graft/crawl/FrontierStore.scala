@@ -5,6 +5,8 @@ import java.nio.file.{Files, Path, Paths, StandardCopyOption}
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.functions.StableConst.stableInt
+
 /** Iceberg-shaped DELTA store for the frontier (SURVEY.md §7.0: no Iceberg
   * runtime jar in this sandbox — this is the MERGE-INTO shape a real
   * Iceberg catalog would drop into).
@@ -185,14 +187,16 @@ class FrontierStore(val root: String) {
     val base = spark.read.schema(FrontierSchema.stateSchema).parquet(basePath(b))
     if (b == wave) base
     else {
-      val tagged = base.withColumn("_w", lit(b)).withColumn("_term", lit(false)) +:
+      // wave ids enter via StableConst so the view's generated code is
+      // identical wave over wave (codegen-cache hit, no Janino recompile)
+      val tagged = base.withColumn("_w", stableInt(b)).withColumn("_term", lit(false)) +:
         ((b + 1) to wave).flatMap { v =>
           (if (exists(outcomesPath(v)))
-            Seq(readOutcomes(spark, v).withColumn("_w", lit(v))
+            Seq(readOutcomes(spark, v).withColumn("_w", stableInt(v))
               .withColumn("_term", lit(true)))
           else Nil) ++
           (if (exists(pendaddPath(v)))
-            Seq(readPendadd(spark, v).withColumn("_w", lit(v))
+            Seq(readPendadd(spark, v).withColumn("_w", stableInt(v))
               .withColumn("_term", lit(false)))
           else Nil)
         }

@@ -97,8 +97,14 @@ case class BloomProbeExpr(child: Expression, dir: String, shards: Int,
     ShardedBloom.mightContain(dir, shards, version, v.asInstanceOf[Long])
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val dirRef = ctx.addReferenceObj("bloomDir", dir, "java.lang.String")
+    // version (the wave id) goes through `references`, not the code text:
+    // inlining it would regenerate byte-different Java every wave and
+    // force a Janino recompile of the whole anti-join stage (see
+    // [[graft.functions.StableConst]])
+    val verRef = ctx.addReferenceObj("bloomVersion", Long.box(version),
+      "java.lang.Long")
     defineCodeGen(ctx, ev, c =>
-      s"graft.crawl.ShardedBloom.mightContain($dirRef, $shards, ${version}L, $c)")
+      s"graft.crawl.ShardedBloom.mightContain($dirRef, $shards, (long) $verRef, $c)")
   }
   override protected def withNewChildInternal(c: Expression): BloomProbeExpr =
     copy(child = c)
