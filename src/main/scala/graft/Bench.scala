@@ -121,14 +121,15 @@ object Bench {
     (parts(1).toLong, parts(2).toDouble)
   }
 
-  /** Bench geometry: 1024 near-even hosts + a 5% mega-host (skew probe).
-    * Steady-state wave size is bounded by per-wave link DISCOVERY (the
-    * frontier holds ~1.2 waves of stock), not by the politeness budget —
-    * so wave size scales with the host count. Sized so the scalable
-    * fetch+extract work per wave (measured ~360 core-s) dominates the
-    * ~10 s core-count-invariant per-wave floor even at the smallest
-    * parallelism level: the same big-cluster/big-wave regime a 100 TB
-    * crawl runs in, where the floor amortizes to noise.
+  /** Bench geometry: 1536 near-even hosts + a 5% mega-host (skew probe).
+    * Hosts evolve independently (per-host budget, intra-host links), so
+    * host count scales wave size exactly ×hosts with an identical
+    * per-host timeline — and the measured waves are the same
+    * deterministic work at every parallelism level. Sized so the
+    * scalable fetch+extract work per wave (~300 core-s) dominates the
+    * ~11 s core-count-invariant per-wave floor even at the smallest
+    * level: the big-cluster/big-wave regime a 100 TB crawl runs in,
+    * where the floor amortizes to noise.
     */
   private lazy val cpusEnv = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
 
@@ -136,16 +137,24 @@ object Bench {
     // size the web to the machine: big enough that the frontier still
     // feeds full waves through the last measured wave, small enough that
     // the smallest-cores run finishes its measured waves in minutes
+    // ~10.5k pages per host with a budget of 800: the measured waves are
+    // CAP-BOUND (exactly budget × hosts scheduled) because per-wave link
+    // discovery stays above the budget through the last measured wave,
+    // while the host depth keeps the unseen fraction high enough that
+    // discovery has not yet crossed below consumption (the knee sits
+    // near unseen ≈ 1/fanout). Deeper hosts push discovery 2-3× above
+    // fetch and balloon the frontier (O(frontier) phases bloat);
+    // shallower ones deplete and bend the waves.
     nPages = sys.env.get("SPARK_GRAFT_BENCH_PAGES").map(_.toLong)
-      .getOrElse(math.max(100000L, 336000L * cpusEnv)),
-    nHosts = sys.env.getOrElse("SPARK_GRAFT_BENCH_HOSTS", "1024").toInt,
+      .getOrElse(math.max(100000L, 504000L * cpusEnv)),
+    nHosts = sys.env.getOrElse("SPARK_GRAFT_BENCH_HOSTS", "1536").toInt,
     megaShare = 0.05)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = cpusEnv
-    val waves = sys.env.getOrElse("SPARK_GRAFT_BENCH_WAVES", "8").toInt
-    val budget = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET", "1200").toInt
+    val waves = sys.env.getOrElse("SPARK_GRAFT_BENCH_WAVES", "9").toInt
+    val budget = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET", "800").toInt
 
     val headline = Seq(
       "q01_pricing_summary", "q05_join_agg", "q08_exact_dedup",

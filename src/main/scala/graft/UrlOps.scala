@@ -25,6 +25,8 @@ object UrlOps {
     "account", "subscribe", "donate", "shop", "admin", "cookies",
     "disclaimer", "coupon", "clickenc", "clickhere", "css", "meteo")
 
+  private val badTokensArr: Array[String] = BadTokens.toArray
+
   private val wwwPrefix = Pattern.compile("^(www\\d?.)")
   private val schemePrefix = Pattern.compile("^https?://")
   private val equalsPrefix = Pattern.compile("^(https?://(www.)?)")
@@ -137,13 +139,24 @@ object UrlOps {
     "(/[^\\s]*)?" +                             // path/query/fragment
     "$")
 
+  // hoisted: String.matches compiles a Pattern PER CALL, and this runs
+  // once per discovered link (the engine's highest-volume scalar)
+  private val ipv4Pattern = Pattern.compile("(\\d{1,3}\\.){3}\\d{1,3}")
+
+  // Matcher reuse: Pattern.matcher allocates a Matcher + group arrays
+  // per call, and this is a per-link predicate (Matcher is not
+  // thread-safe — one per executor thread)
+  private val validUrlMatcher = new ThreadLocal[java.util.regex.Matcher] {
+    override def initialValue() = validUrlPattern.matcher("")
+  }
+
   def isValidUrl(url: String): Boolean = {
     if (url == null || url.isEmpty) return false
-    if (!validUrlPattern.matcher(url).matches()) return false
+    if (!validUrlMatcher.get().reset(url).matches()) return false
     val h = PyUrl.hostname(url)
     if (h == null) return false
     // public=True: reject private/reserved IPv4
-    if (h.matches("(\\d{1,3}\\.){3}\\d{1,3}")) {
+    if (ipv4Pattern.matcher(h).matches()) {
       val parts = h.split('.').map(_.toInt)
       if (parts.exists(_ > 255)) return false
       val a = parts(0); val b = parts(1)
@@ -160,11 +173,17 @@ object UrlOps {
     if (url == null) return null
     var path = PyUrl.urlparse(url).path
     if (path.endsWith("/")) path = path.substring(0, path.length - 1)
-    val chunks = path.split('/').filter(_.nonEmpty)
-    if (chunks.nonEmpty) {
-      val lastChunk = chunks.last.split("\\.", -1)
-      if (lastChunk.length < 2) return null
-      val ft = lastChunk.last
+    // last non-empty '/'-chunk, then the suffix after its last '.' —
+    // index math instead of split("\\.") (String.split on "." compiles
+    // a regex per call) and with no intermediate arrays
+    var end = path.length
+    while (end > 0 && path.charAt(end - 1) == '/') end -= 1
+    if (end > 0) {
+      var start = path.lastIndexOf('/', end - 1) + 1
+      val chunk = path.substring(start, end)
+      val dot = chunk.lastIndexOf('.')
+      if (dot < 0) return null // "no second split part" in the reference
+      val ft = chunk.substring(dot + 1)
       if (ft.length <= 5) return ft.toLowerCase
     }
     null
@@ -191,18 +210,29 @@ object UrlOps {
       if (result) {
         var path = parsed.path.toLowerCase
         if (path.endsWith("/")) path = path.substring(0, path.length - 1)
-        val tokens = path.split("/", -1).toBuffer
+        // plain arrays + index loops: Scala 2.13's ArrayBuffer allocates
+        // a checked view + iterator per `contains`, and this ran
+        // |BadTokens| times per discovered link (measured ~19 GB/wave)
+        val tokens = path.split("/", -1)
         if (fileType != null && tokens.nonEmpty)
-          tokens(tokens.length - 1) = tokens.last.replace("." + fileType, "")
+          tokens(tokens.length - 1) =
+            tokens(tokens.length - 1).replace("." + fileType, "")
         if (subDomain != null) subDomain = subDomain.toLowerCase
-        val it = BadTokens.iterator
+        val bts = badTokensArr
+        var bi = 0
         var break = false
-        while (it.hasNext && !break) {
-          val b = it.next()
-          if (tokens.contains(b) || (subDomain != null && subDomain.nonEmpty && b == subDomain)) {
-            result = false; break = true
+        while (bi < bts.length && !break) {
+          val b = bts(bi)
+          var ti = 0
+          while (ti < tokens.length && !break) {
+            if (b == tokens(ti)) break = true
+            ti += 1
           }
+          if (!break && subDomain != null && subDomain.nonEmpty && b == subDomain)
+            break = true
+          bi += 1
         }
+        if (break) result = false
       }
     }
     result

@@ -155,6 +155,7 @@ object CrawlJob {
     */
   case class WaveResult(scheduled: Long, outcomes: DataFrame,
       pendadd: DataFrame, keys: DataFrame, articles: DataFrame,
+      touchedPending: DataFrame,
       metrics: WaveMetrics,
       cached: Seq[org.apache.spark.sql.Dataset[_]])
 
@@ -408,8 +409,13 @@ object CrawlJob {
       disallowed = disallowedCount,
       pendingAfter = -1) // filled by the caller when not lean
 
+    // the pending rows this wave finalized or re-queued: the scheduled
+    // set plus canon-upgrades (see the pending-view maintenance in run())
+    val touchedPending = waveSet.select($"urlKey", $"ckey")
+      .unionByName(upgrades.select($"urlKey", $"ckey"))
+
     WaveResult(scheduled, outcomes, pendadd, newKeys, articles.toDF(),
-      metrics, Seq(waveSet, parsed, cand, newEntries))
+      touchedPending, metrics, Seq(waveSet, parsed, cand, newEntries))
   }
 
   /** The keyed pages table bucketed on the join key and persisted — the
@@ -439,7 +445,8 @@ object CrawlJob {
   def run(spark: SparkSession, cfg: Config,
           stopAfterWaves: Int = Int.MaxValue,
           sharedPages: Option[DataFrame] = None,
-          sharedRules: Option[DataFrame] = None): Int = {
+          sharedRules: Option[DataFrame] = None,
+          onWaveDone: Int => Unit = _ => ()): Int = {
     val store = new FrontierStore(cfg.storeRoot)
     val nShuffle = spark.conf.get("spark.sql.shuffle.partitions").toInt
     // one upfront shuffle of the pages table on the join key, reused by
@@ -472,34 +479,86 @@ object CrawlJob {
 
     var pending = store.pendingView(spark, wave)
       .persist(StorageLevel.DISK_ONLY)
+
+    // ---- asynchronous wave-commit pipeline ----
+    // The wave commit (delta write + Bloom + manifest + _LATEST) is a
+    // SINK: nothing in wave N+1's compute needs its files — the next
+    // wave's URL-seen set rides the cached in-memory keys of wave N
+    // (bit-equal to the file it is being written to), and the pending
+    // view is maintained incrementally. So commit(N) runs on its own
+    // thread OVERLAPPED with wave N+1's compute; commit(N) is joined
+    // before commit(N+1) starts, so _LATEST advances monotonically and
+    // a crash mid-overlap resumes from the last PUBLISHED wave and
+    // recomputes the unpublished one deterministically. Cache releases
+    // for wave N are deferred to that same barrier (the commit's write
+    // plan and the successor's seen-set still read them).
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    var inFlight: Option[Future[Unit]] = None
+    var retired: Seq[() => Unit] = Nil
+    def commitBarrier(): Unit = {
+      inFlight.foreach(f => Await.result(f, Duration.Inf))
+      inFlight = None
+      retired.foreach(_.apply())
+      retired = Nil
+    }
+    // keys committed as wave id `wave` but possibly not yet on disk —
+    // the successor's seen-set reads them from cache instead. LAZY
+    // localCheckpoint, and mandatory: carrying the raw keys PLAN would
+    // nest every prior wave's pipeline into the next seen-set (plan
+    // size and Catalyst time grow without bound — measured 9 s → 200 s
+    // per wave within 8 waves on a toy crawl); the checkpoint truncates
+    // the lineage at O(wave) 8-byte keys, materialized as a side effect
+    // of the successor's own first action over the still-cached source.
+    var carryKeys: Option[DataFrame] = None
+
     var wavesRun = 0
     var exhausted = false
     while (!exhausted && wavesRun < stopAfterWaves && wave < cfg.maxWaves) {
       val t0 = System.nanoTime()
-      val seenKeys = store.allKeys(spark, wave)
+      val seenKeys = carryKeys match {
+        case Some(k) => store.allKeys(spark, wave - 1).unionByName(k)
+        case None    => store.allKeys(spark, wave)
+      }
       val r = runWave(spark, pending, seenKeys, pages, rules, wave, cfg,
         bloom.map(_.probe(wave)))
       if (r.scheduled == 0) {
+        commitBarrier()
         r.cached.foreach(_.unpersist(blocking = false))
         exhausted = true
       } else {
-        store.commitWave(spark, wave + 1, r.outcomes, r.pendadd, r.keys,
-          r.articles, r.metrics, withLineage = !cfg.lean,
-          preCommit = () => bloom.foreach(_.update(r.keys)))
+        commitBarrier() // publish the predecessor before committing this wave
+        val committedWave = wave + 1
+        // the Bloom update stays SYNCHRONOUS: probe-negative candidates
+        // skip the exact anti-join entirely, so the filter must already
+        // hold this wave's keys when the NEXT wave probes — and writing
+        // it ahead of the delta is the superset-safe crash direction
+        // (extra keys in the filter cost false-positive joins, never
+        // correctness). committedWave = the version the next wave probes
+        // with, so the merge seeds the probe cache under it.
+        bloom.foreach(_.update(r.keys, seedVersion = committedWave))
+        inFlight = Some(Future {
+          store.commitWave(spark, committedWave, r.outcomes, r.pendadd,
+            r.keys, r.articles, r.metrics, withLineage = !cfg.lean)
+        })
         wave += 1
         wavesRun += 1
         // next wave's frontier, maintained INCREMENTALLY from this wave's
-        // cached outputs: remove every key this wave touched (outcomes ∪
-        // pendadd are disjoint and cover exactly the touched keys — the
-        // FrontierStore contract), then add the pendadd upserts. Set-equal
-        // to store.pendingView(wave) by induction, without re-scanning the
+        // cached outputs: remove every pending row this wave touched,
+        // then add the pendadd upserts. Set-equal to
+        // store.pendingView(wave) by induction, without re-scanning the
         // committed state: the per-wave cost is one O(frontier)
         // shuffled-hash anti-join against an O(wave) build side, instead
-        // of a parquet scan + O(frontier) max_by shuffle. Resume still
-        // derives the view from the committed files (bit-equal rows).
-        val touched = r.outcomes.select($"urlKey", $"ckey")
-          .unionByName(r.pendadd.select($"urlKey", $"ckey"))
-          .hint("SHUFFLE_HASH")
+        // of a parquet scan + O(frontier) max_by shuffle. The build side
+        // is waveSet ∪ upgrade keys — NOT all of outcomes ∪ pendadd:
+        // the other outcome rows are strictly-NEW keys (newEntries), and
+        // a new key can never be in `pending` (every pending row's key
+        // entered the keys log at discovery), so anti-joining against
+        // them was pure waste (~3× the build size at discovery-heavy
+        // waves). Retries are ⊂ waveSet and re-enter via pendadd. Resume
+        // still derives the view from committed files (bit-equal rows).
+        val touched = r.touchedPending.hint("SHUFFLE_HASH")
         val tPv = System.nanoTime()
         // eager localCheckpoint, NOT persist: it truncates the lineage to
         // the materialized partitions. A plain persist keeps the logical
@@ -514,17 +573,27 @@ object CrawlJob {
         if (sys.env.contains("GRAFT_TIMING")) System.err.println(
           f"[timing] wave $wave pview ${(System.nanoTime() - tPv) / 1e9}%.2fs")
         // periodic base rewrite straight from the materialized view (the
-        // delta chain stays short for resumers without an O(state) re-read)
-        if (cfg.compactEvery > 0 && wave % cfg.compactEvery == 0)
+        // delta chain stays short for resumers without an O(state)
+        // re-read); a base at wave W may only exist once W is published
+        if (cfg.compactEvery > 0 && wave % cfg.compactEvery == 0) {
+          commitBarrier()
           store.compactFrom(np, wave)
-        r.cached.foreach(_.unpersist(blocking = false))
-        freePending(pending)
+        }
+        val oldPending = pending
+        val oldCarry = carryKeys
+        retired = Seq(
+          () => r.cached.foreach(_.unpersist(blocking = false)),
+          () => freePending(oldPending),
+          () => oldCarry.foreach(freePending))
+        carryKeys = Some(r.keys.localCheckpoint(false, StorageLevel.DISK_ONLY))
         pending = np
-        System.err.println(f"[crawl] wave ${wave - 1} committed in ${(System.nanoTime() - t0) / 1e9}%.2fs" +
+        onWaveDone(wave)
+        System.err.println(f"[crawl] wave ${wave - 1} compute+view done in ${(System.nanoTime() - t0) / 1e9}%.2fs (commit in flight)" +
           (if (cfg.lean) ""
            else s" (scheduled=${r.metrics.scheduled} fetched=${r.metrics.fetched} new=${r.metrics.newLinks})"))
       }
     }
+    commitBarrier()
     freePending(pending)
     if (ownsRules) rules.unpersist(blocking = false)
     if (ownsPages) pages.unpersist(blocking = false)

@@ -61,7 +61,16 @@ class ShardedBloom(val dir: String, val shards: Int,
     * lineage when the caller persists it (CrawlJob leans on that to fuse
     * the "pin the newEntries cache" action with the Bloom update).
     */
-  def update(keys: DataFrame): Unit = {
+  /** @param seedVersion when ≥ 0, the merge task also installs the
+    *   freshly merged filter into this executor's probe cache under that
+    *   version (the version the NEXT wave probes with) — in local mode
+    *   and on whichever cluster executor ran the merge, the next wave's
+    *   probes then skip the per-wave file reload entirely (measured:
+    *   every wave re-read every shard file, a fixed multi-second tax on
+    *   the candidate stream). Executors that did not merge a shard load
+    *   it from the file once, as before.
+    */
+  def update(keys: DataFrame, seedVersion: Long = -1L): Unit = {
     val (d, n, eps, f) = (dir, shards, expectedPerShard, fpp)
     keys.select(pmod(col("urlKey"), lit(n)).cast("int").as("shard"),
         col("urlKey"))
@@ -74,7 +83,8 @@ class ShardedBloom(val dir: String, val shards: Int,
             scala.collection.mutable.ArrayBuffer.empty[Long]) += r.getLong(1)
         }
         byShard.foreach { case (s, ks) =>
-          ShardedBloom.mergeToFile(d, s, eps, f, ks)
+          val merged = ShardedBloom.mergeToFile(d, s, eps, f, ks)
+          if (seedVersion >= 0) ShardedBloom.seed(d, s, seedVersion, merged)
         }
       }
   }
@@ -152,9 +162,11 @@ object ShardedBloom {
     }
   }
 
-  /** Executor-side read-merge-write of one shard file (atomic replace). */
+  /** Executor-side read-merge-write of one shard file (atomic replace);
+    * returns the merged filter so the caller may seed the probe cache.
+    */
   private[crawl] def mergeToFile(dir: String, shard: Int, eps: Long,
-                                 fpp: Double, keys: Iterable[Long]): Unit = {
+                                 fpp: Double, keys: Iterable[Long]): BloomFilter = {
     Files.createDirectories(Paths.get(dir))
     val p = shardPath(dir, shard)
     val bf =
@@ -168,6 +180,16 @@ object ShardedBloom {
     try bf.writeTo(out) finally out.close()
     Files.move(tmp, p, StandardCopyOption.ATOMIC_MOVE,
       StandardCopyOption.REPLACE_EXISTING)
+    bf
+  }
+
+  /** Install a just-merged filter under the version the next wave will
+    * probe with (see [[ShardedBloom.update]]).
+    */
+  private[crawl] def seed(dir: String, shard: Int, version: Long,
+                          bf: BloomFilter): Unit = {
+    cache.put(s"$dir#$shard", new Entry(version, bf))
+    if (cache.size() > maxCached) evictOldest()
   }
 
   /** JVM-wide probe cache: (dir#shard) → (version, filter|null). Reads

@@ -138,11 +138,28 @@ object Explorer {
     * case-sensitive attribute VALUE match like cssselect→xpath.
     * Matches descendant-or-self like element.cssselect.
     */
+  // selectors are a fixed vocabulary (the reference's css_select call
+  // sites); compiling them per call put Pattern.compile on the per-page
+  // hot path — cache predicate arrays by selector string
+  private val selectorCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[Dom => Boolean]]()
+  private val cssPattern = Pattern.compile(
+    "^([a-zA-Z0-9*]+)?(?:\\[([^\\]=*]+)(\\*?=)?(?:[\"']?([^\\]\"']*)[\"']?)?\\])?$")
+
   def cssSelect(node: Dom, selector: String): List[Dom] = {
+    val preds = selectorCache.computeIfAbsent(selector, compileSelector)
+    node.iter.filter(d => preds.exists(p => p(d))).toList
+  }
+
+  private val compileSelector =
+    new java.util.function.Function[String, Array[Dom => Boolean]] {
+      def apply(selector: String): Array[Dom => Boolean] = compileSelector0(selector)
+    }
+
+  private def compileSelector0(selector: String): Array[Dom => Boolean] = {
     val alts = selector.split(",").map(_.trim).filter(_.nonEmpty)
-    val preds: Array[Dom => Boolean] = alts.map { sel =>
-      val m = Pattern.compile("^([a-zA-Z0-9*]+)?(?:\\[([^\\]=*]+)(\\*?=)?(?:[\"']?([^\\]\"']*)[\"']?)?\\])?$")
-        .matcher(sel)
+    alts.map { sel =>
+      val m = cssPattern.matcher(sel)
       if (!m.matches()) throw new IllegalArgumentException(s"css subset: $sel")
       val tag = Option(m.group(1)).filter(_ != "*").map(_.toLowerCase)
       val attr = Option(m.group(2))
@@ -164,7 +181,6 @@ object Explorer {
         })
       }
     }
-    node.iter.filter(d => preds.exists(p => p(d))).toList
   }
 
   /** explorer.py:369-374 (unescapes the attribute value again). */
