@@ -157,20 +157,42 @@ object Dedup {
     * shingles (i.e. genuinely near-dup — the output itself).
     * Verification is an exact per-candidate-pair set intersection.
     */
+  /** Exact blocked pairs, BLOCK-SIZE-ADAPTIVE: blocks of at most
+    * `prefixMinBlock` docs take the direct all-pairs-within-block join
+    * (its cost is bounded by prefixMinBlock × block rows — cheaper than
+    * the prefix-filter machinery's explode/rank/self-join); larger
+    * blocks go through exact prefix filtering so a mega-block (one
+    * dominant source) is never quadratic. Both paths compute the same
+    * exact Jaccard predicate — the union is the same pair set for any
+    * split point.
+    */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                         blockCol: String, shingleSize: Int,
-                        threshold: Double): DataFrame = {
+                        threshold: Double,
+                        prefixMinBlock: Int = 1024): DataFrame = {
     val shArr = shingleArrays(docs, idCol, textCol, blockCol, shingleSize)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val cand = prefixCandidates(shArr, threshold)
-    val out = cand
-      .join(shArr.select($"doc_id".as("doc_a"), $"sh".as("sh_a")), Seq("doc_a"))
-      .join(shArr.select($"doc_id".as("doc_b"), $"sh".as("sh_b")), Seq("doc_b"))
+    val sizes = shArr.groupBy($"blk").agg(count(lit(1)).as("bn"))
+    val withN = shArr.join(sizes, Seq("blk"))
+    val small = withN.filter($"bn" <= prefixMinBlock)
+    val big = withN.filter($"bn" > prefixMinBlock).select($"doc_id", $"blk", $"sh")
+
+    def jaccardOf(pairs: DataFrame): DataFrame = pairs
       .withColumn("inter", size(array_intersect($"sh_a", $"sh_b")))
       .withColumn("jaccard",
         $"inter".cast("double") / (size($"sh_a") + size($"sh_b") - $"inter"))
       .filter($"jaccard" >= threshold)
       .select($"doc_a", $"doc_b", $"jaccard")
+
+    val smallPairs = jaccardOf(small.as("a").join(small.as("b"),
+        col("a.blk") === col("b.blk") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.sh").as("sh_a"), col("b.sh").as("sh_b")))
+    val bigPairs = jaccardOf(prefixCandidates(big, threshold)
+      .join(big.select($"doc_id".as("doc_a"), $"sh".as("sh_a")), Seq("doc_a"))
+      .join(big.select($"doc_id".as("doc_b"), $"sh".as("sh_b")), Seq("doc_b")))
+
+    val out = smallPairs.unionByName(bigPairs)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     out.count() // materialize the (small) result, then drop the big cache
     shArr.unpersist(blocking = false)

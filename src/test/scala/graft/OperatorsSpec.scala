@@ -118,8 +118,11 @@ class OperatorsSpec extends AnyFunSuite {
     val megaQuadratic = 200L * 199L / 2
     assert(candCount < megaQuadratic / 10,
       s"prefix candidates $candCount not sub-quadratic (n²/2 = $megaQuadratic)")
-    // and the operator is still exact on this corpus
-    val got = Dedup.ngramJaccardPairs(d, "doc_id", "text", "source", 3, 0.4)
+    // and the operator is still exact on this corpus, with the mega
+    // block (200 docs) forced through the prefix path and the small
+    // sources through the direct path (prefixMinBlock between them)
+    val got = Dedup.ngramJaccardPairs(d, "doc_id", "text", "source", 3, 0.4,
+      prefixMinBlock = 100)
     val gotSet = got.select($"doc_a", $"doc_b").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     val src = d.select($"doc_id".as("id"), $"source")
