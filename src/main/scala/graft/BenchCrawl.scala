@@ -148,6 +148,13 @@ object BenchCrawl {
           val finalWave = CrawlJob.run(spark, cfgI, stopAfterWaves = waves + 2,
             sharedPages = sharedPages, sharedRules = sharedRules,
             onWaveDone = w => waveReady(w) = System.nanoTime())
+          // fail LOUDLY if the frontier exhausted mid-window: a shorter
+          // window would silently under-report and a missing edge key
+          // would crash with a bare NoSuchElementException (ADVICE r3)
+          require(finalWave == rampWave + waves + 2,
+            s"bench window truncated: frontier exhausted at wave $finalWave, " +
+              s"expected ${rampWave + waves + 2} (ramp $rampWave + 2 lead-in + $waves timed) — " +
+              "grow the web or lower the budget")
           val leadWave = rampWave + 2
           val sec = (waveReady(finalWave) - waveReady(leadWave)) / 1e9
           val fetched = ((leadWave + 1) to finalWave).map { w =>

@@ -341,6 +341,30 @@ object SparkEntry {
           $"nFrames".cast("long").as("n_frames"))
     }),
 
+    // Real A/V container headers (pure-JVM WAV RIFF + MP4 moov/mvhd/tkhd
+    // parses — operators/Multimodal.scala): even doc_ids carry a genuine
+    // RIFF/WAVE byte stream, odd ones a minimal real MP4 box tree; the
+    // oracle pins the byte-level encode→parse round trip (a misread
+    // chunk offset shifts every value)
+    "q30_av_probe" -> ((s, dir) => {
+      val enc = udf((id: Long) =>
+        if (id % 2 == 0)
+          Multimodal.encodeWav(8000 + (id % 4).toInt * 4000,
+            1 + (id % 2).toInt, 100 + (id % 50).toInt, id)
+        else
+          Multimodal.encodeTinyMp4(320 + (id % 16).toInt, 240 + (id % 9).toInt,
+            1000 + (id % 977).toInt, 1000))
+      val payloads = t(s, dir, "documents")
+        .select($"doc_id", enc($"doc_id").as("payload"))
+      Multimodal.features(payloads, "doc_id", "payload").toDF()
+        .select($"id", $"format",
+          $"sampleRate".cast("long").as("sample_rate"),
+          $"channels".cast("long").as("n_channels"),
+          $"width", $"height",
+          $"nFrames".cast("long").as("n_frames"),
+          $"durationMs".as("duration_ms"))
+    }),
+
     // Article extraction as a queryable operator over a deterministic
     // synthetic web SIZED BY the scale-factor dir (rows-only;
     // byte-identity is covered by sbt test). lineitem's row count is the
@@ -598,6 +622,24 @@ object SparkEntry {
         |  CAST(1 AS BIGINT) AS n_frames,
         |  CAST(12 + (8 + doc_id % 8) * (8 + doc_id % 5) AS BIGINT) AS n_bytes,
         |  CAST(12 + ((8 + doc_id % 8) // 2) * ((8 + doc_id % 5) // 2) AS BIGINT) AS resized_bytes
+        |FROM documents""".stripMargin,
+
+    "q30_av_probe" ->
+      """SELECT doc_id AS id,
+        |  CASE WHEN doc_id % 2 = 0 THEN 'wav' ELSE 'mp4' END AS format,
+        |  CAST(CASE WHEN doc_id % 2 = 0 THEN 8000 + (doc_id % 4) * 4000
+        |            ELSE -1 END AS BIGINT) AS sample_rate,
+        |  CAST(CASE WHEN doc_id % 2 = 0 THEN 1 + doc_id % 2
+        |            ELSE -1 END AS BIGINT) AS n_channels,
+        |  CAST(CASE WHEN doc_id % 2 = 0 THEN -1
+        |            ELSE 320 + doc_id % 16 END AS INTEGER) AS width,
+        |  CAST(CASE WHEN doc_id % 2 = 0 THEN -1
+        |            ELSE 240 + doc_id % 9 END AS INTEGER) AS height,
+        |  CAST(CASE WHEN doc_id % 2 = 0 THEN 100 + doc_id % 50
+        |            ELSE 1 END AS BIGINT) AS n_frames,
+        |  CAST(CASE WHEN doc_id % 2 = 0
+        |            THEN ((100 + doc_id % 50) * 1000) // (8000 + (doc_id % 4) * 4000)
+        |            ELSE 1000 + doc_id % 977 END AS BIGINT) AS duration_ms
         |FROM documents""".stripMargin,
 
     "q29_image_probe" ->

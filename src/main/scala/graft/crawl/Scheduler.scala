@@ -39,8 +39,16 @@ object Scheduler {
 
   /** Select this wave's fetch set: exact top-`hostBudget` per host by
     * priority, with `scheduledRank` (1-based rank within host).
+    *
+    * `hostCaps` (host, hostCap): per-host budget floors from
+    * `Crawl-delay` (all caps < hostBudget by construction). Phase 1's
+    * bounded heap keeps the GLOBAL budget — a superset of every capped
+    * set — so the cap applies as an exact rank filter on the reduced
+    * phase-2 rows; the caps table is O(delayed hosts) and
+    * auto-broadcasts.
     */
-  def selectWave(eligible: DataFrame, hostBudget: Int): DataFrame = {
+  def selectWave(eligible: DataFrame, hostBudget: Int,
+                 hostCaps: Option[DataFrame] = None): DataFrame = {
     val spark = eligible.sparkSession
     import spark.implicits._
     val slim = eligible.select($"urlKey", $"ckey", $"url", $"host",
@@ -64,8 +72,15 @@ object Scheduler {
     val w = Window.partitionBy($"host").orderBy(
       $"isWebnews".desc, $"discWave".asc, $"parentRank".asc,
       $"linkIdx".asc, $"urlKey".asc)
-    partial.toDF()
+    val ranked = partial.toDF()
       .withColumn("scheduledRank", row_number().over(w).cast("long"))
       .filter($"scheduledRank" <= hostBudget)
+    hostCaps match {
+      case None => ranked
+      case Some(caps) =>
+        ranked.join(caps, Seq("host"), "left")
+          .filter($"hostCap".isNull || $"scheduledRank" <= $"hostCap")
+          .drop("hostCap")
+    }
   }
 }

@@ -11,9 +11,20 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{BooleanType, DataType}
 import org.apache.spark.util.sketch.BloomFilter
 
-/** Sharded URL-seen Bloom filter: one filter per `pmod(urlKey, shards)`
-  * shard, built and probed EXECUTOR-side, persisted beside the frontier
-  * snapshots — no driver-held global filter.
+/** Sharded URL-seen Bloom filter: one filter per
+  * `floorMod(murmur3(urlKey), shards)` shard, built and probed
+  * EXECUTOR-side, persisted beside the frontier snapshots — no
+  * driver-held global filter.
+  *
+  * SHARD↔PARTITION ALIGNMENT (VERDICT r3 #4): the shard function is the
+  * same Murmur3(seed 42) hash Spark's `HashPartitioning` applies to a
+  * Long key, so whenever the probed stream is hash-partitioned on
+  * `urlKey` into a MULTIPLE of `shards` partitions, every task's keys
+  * fall into exactly ONE shard (partition p ≡ hash mod N ⇒ shard =
+  * p mod S when S | N) — one filter file per task, like an
+  * Iceberg-bucket-aligned layout. CrawlJob keys its candidate-dedup
+  * exchange accordingly; the LRU cache below remains the fallback for
+  * unaligned callers.
   *
   * Why sharded (SURVEY.md §7.4): at the north rule's 10^10-URL seen set a
   * single filter at ~10 bits/key is ~12.5 GB — unbuildable on the driver
@@ -72,7 +83,9 @@ class ShardedBloom(val dir: String, val shards: Int,
     */
   def update(keys: DataFrame, seedVersion: Long = -1L): Unit = {
     val (d, n, eps, f) = (dir, shards, expectedPerShard, fpp)
-    keys.select(pmod(col("urlKey"), lit(n)).cast("int").as("shard"),
+    // hash() = Murmur3(seed 42), bit-equal to ShardedBloom.shardOf and
+    // to HashPartitioning's partitioner (see class doc)
+    keys.select(pmod(hash(col("urlKey")), lit(n)).cast("int").as("shard"),
         col("urlKey"))
       .repartition(n, col("shard"))
       .foreachPartition { it: Iterator[Row] =>
@@ -209,6 +222,15 @@ object ShardedBloom {
   private val cache =
     new java.util.concurrent.ConcurrentHashMap[String, Entry]()
 
+  /** Shard of a urlKey: Murmur3(seed 42) — Spark's `hash()` /
+    * `HashPartitioning` hash for a Long — mod shard count, so shard
+    * assignment nests under any urlKey hash-partitioning whose
+    * partition count is a multiple of `shards` (class doc).
+    */
+  def shardOf(key: Long, shards: Int): Int =
+    java.lang.Math.floorMod(
+      org.apache.spark.unsafe.hash.Murmur3_x86_32.hashLong(key, 42), shards)
+
   /** Static probe target of [[BloomProbeExpr]]'s generated code. A
     * missing shard file yields TRUE — "suspect", resolved by the exact
     * anti-join — because after [[ensure]] every shard file exists, so
@@ -216,7 +238,7 @@ object ShardedBloom {
     */
   def mightContain(dir: String, shards: Int, version: Long,
                    key: Long): Boolean = {
-    val shard = java.lang.Math.floorMod(key, shards.toLong).toInt
+    val shard = shardOf(key, shards)
     val ck = s"$dir#$shard"
     var e = cache.get(ck)
     if (e == null || e.version != version) {

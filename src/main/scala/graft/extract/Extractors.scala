@@ -218,13 +218,15 @@ object Extractors {
       val day = m.group(2)
       val month = itMonths(m.group(3).toLowerCase)
       val year = m.group(4)
-      // reference builds '%s-%s-%s' % (year, month, day); year None -> "None"
-      val dateStr = s"${if (year == null) "None" else year}-$month-$day"
-      // dateutil rejects "None-..." and 2-digit-year forms differ; only
-      // 4-digit years reach a parse here in our corpus
-      if (year != null && year.length == 4)
-        return parseDateStr(f"$year-$month%02d-${day.toInt}%02d")
-      null
+      // reference builds '%s-%s-%s' % (year, month, day) and feeds it to
+      // dateutil (utils.py:288-289). The year group is `(\d\d(?:\d\d))?`
+      // — the inner (?:\d\d) is NOT optional, so it matches FOUR digits
+      // or nothing: a 2-digit year in the text leaves the group None,
+      // the built string is "None-M-D", and dateutil raises -> None.
+      // (Verified against the reference regex; there is no 2-digit-year
+      // path to diverge on — F15 parity is exact here.)
+      if (year == null) return null
+      parseDateStr(f"${year.toInt}%04d-$month%02d-${day.toInt}%02d")
     } else null
   }
 

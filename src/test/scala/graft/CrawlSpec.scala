@@ -214,6 +214,47 @@ class CrawlSpec extends AnyFunSuite {
     assert(w === 5)
   }
 
+  test("in-loop snapshot expiry (keepSnapshots): kill-resume still exact") {
+    // expiry wired INTO the crawl loop (VERDICT r3 #9): compaction every
+    // 2 waves, only the newest base retained — and a mid-crawl kill
+    // must still resume to the same final state
+    val store4 = Files.createTempDirectory("graftstore4").toString
+    val cfg4 = crawlCfg(store4).copy(compactEvery = 2, keepSnapshots = 1)
+    CrawlJob.run(spark, cfg4, stopAfterWaves = 3)
+    val fs4 = new FrontierStore(store4)
+    assert(fs4.latestWave().get === 3)
+    // the wave-2 compaction expired the wave-0 base
+    assert(!Files.exists(java.nio.file.Paths.get(fs4.basePath(0))))
+    val finalWave4 = CrawlJob.run(spark, cfg4) // resume to exhaustion
+    val (finalWave, state, _) = sparkRun
+    assert(finalWave4 === finalWave)
+    val a = state.orderBy($"ckey")
+      .select($"ckey", $"status", $"attempts", $"fetchWave", $"scheduledRank")
+      .collect().toSeq
+    val b = fs4.readState(spark, finalWave4).orderBy($"ckey")
+      .select($"ckey", $"status", $"attempts", $"fetchWave", $"scheduledRank")
+      .collect().toSeq
+    assert(a === b)
+  }
+
+  test("Bloom shards align with Spark urlKey hash-partitioning (one shard per task)") {
+    import spark.implicits._
+    val shards = 4
+    // 8 partitions = 2 × shards: every partition must map to ONE shard
+    val perPartition = spark.range(20000)
+      .select((xxhash64($"id")).as("urlKey"))
+      .repartition(8, $"urlKey")
+      .as[Long]
+      .mapPartitions { it =>
+        val seen = scala.collection.mutable.HashSet.empty[Int]
+        it.foreach(k => seen += ShardedBloom.shardOf(k, shards))
+        Iterator(seen.size)
+      }
+      .collect()
+    assert(perPartition.forall(_ <= 1), perPartition.mkString(","))
+    assert(perPartition.count(_ == 1) === 8) // and all shards are reachable
+  }
+
   test("WebGen is deterministic and robots rules parse") {
     val r1 = WebGen.rowAt(webCfg, 17L)
     val r2 = WebGen.rowAt(webCfg, 17L)
@@ -232,5 +273,77 @@ class CrawlSpec extends AnyFunSuite {
     // blank lines inside an agent run do not end the run
     assert(Robots.parse("User-agent: *\n\nUser-agent: a\nDisallow: /z\n")
       === Seq("/z"))
+  }
+
+  test("robots named agent groups: RFC 9309 longest-match selection + Crawl-delay") {
+    val body = "User-agent: BadBot\nDisallow: /\n\n" +
+      "User-agent: *\nDisallow: /tmp/\nCrawl-delay: 2\n"
+    // exact named group beats *, case-insensitively
+    assert(Robots.rulesFor(body, "badbot") === ((Seq("/"), 0.0)))
+    assert(Robots.rulesFor(body, "BADBOT-2.1") === ((Seq("/"), 0.0)))
+    // unmatched token falls back to the * group, with its delay
+    assert(Robots.rulesFor(body, "goodbot") === ((Seq("/tmp/"), 2.0)))
+    // longest matching token wins among named groups
+    val b2 = "User-agent: bot\nDisallow: /a/\n" +
+      "User-agent: botzilla\nDisallow: /b/\nCrawl-delay: 7\n" +
+      "User-agent: *\nDisallow: /c/\n"
+    assert(Robots.rulesFor(b2, "botzilla-2.0") === ((Seq("/b/"), 7.0)))
+    assert(Robots.rulesFor(b2, "botling") === ((Seq("/a/"), 0.0)))
+    assert(Robots.rulesFor(b2, "other") === ((Seq("/c/"), 0.0)))
+    // same-specificity groups merge (RFC: combine same-agent groups);
+    // crawl-delay folds to the max; malformed delay values are ignored
+    val b3 = "User-agent: *\nDisallow: /x/\nCrawl-delay: 1\n" +
+      "User-agent: a\nDisallow: /only-a/\n" +
+      "User-agent: *\nDisallow: /y/\nCrawl-delay: nope\nCrawl-delay: 3\n"
+    assert(Robots.rulesFor(b3, "other") === ((Seq("/x/", "/y/"), 3.0)))
+    // no matching group at all → allow everything
+    assert(Robots.select(
+      Robots.parseGroups("User-agent: a\nDisallow: /p/\n"), "b") === ((Nil, 0.0)))
+  }
+
+  test("Crawl-delay floors the per-host wave budget; engine matches RefSpec") {
+    // host 1's robots gains a graftbot group with Crawl-delay 30 →
+    // cap = min(6, ⌊60/30⌋) = 2 per wave; other hosts keep budget 6
+    val delayBody = "User-agent: graftbot\nDisallow: /private/\nCrawl-delay: 30\n\n" +
+      WebGen.RobotsBody
+    val delayedRobotsUrl = s"${WebGen.base(1)}/robots.txt"
+    val dir = Files.createTempDirectory("graftwebdelay").toString
+    WebGen.generate(spark, webCfg)
+      .withColumn("text", when($"url" === delayedRobotsUrl, lit(delayBody))
+        .otherwise($"text"))
+      .withColumn("html", when($"url" === delayedRobotsUrl,
+        lit(delayBody.getBytes("UTF-8"))).otherwise($"html"))
+      .write.mode("overwrite").parquet(dir)
+    val store = Files.createTempDirectory("graftstoredelay").toString
+    val cfg = crawlCfg(store).copy(pagesPath = dir, maxWaves = 6)
+    // the engine's group selection picks the graftbot group (delay 30);
+    // RefSpec gets the SAME derived rules + caps
+    val caps = CrawlJob.refHostCaps(spark, cfg)
+    assert(caps === Map(s"host1.example.com" -> 2))
+    val finalWave = CrawlJob.run(spark, cfg)
+    val fs = new FrontierStore(store)
+    val state = fs.readState(spark, finalWave).cache()
+    // the delayed host never schedules more than 2 per wave; an
+    // un-delayed host reaches the full budget
+    val maxRank = state.filter($"scheduledRank" > 0)
+      .groupBy($"host").agg(max($"scheduledRank").as("m"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(maxRank("host1.example.com") === 2L)
+    assert(maxRank.exists { case (h, m) => h != "host1.example.com" && m > 2L })
+    // full equivalence vs the oracle under the same caps
+    val pages = spark.read.parquet(dir)
+      .select($"url", $"html").collect()
+      .map(r => (r.getString(0).replaceFirst("^https?://", ""),
+        (r.getString(0), r.getAs[Array[Byte]]("html")))).toMap
+    val want = RefSpec.run(pages, WebGen.seeds(webCfg),
+      CrawlJob.robotsRules(spark, cfg), hostBudget = 6,
+      maxWaves = 6, hostCaps = caps)
+    val got = state.filter($"status" === Status.Fetched && $"scheduledRank" > 0)
+      .select($"fetchWave", $"hostRank", $"scheduledRank", $"ckey")
+      .collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getString(3)))
+      .sortBy(t => (t._1, t._2, t._3))
+    assert(got.toSeq === want.fetchOrder)
+    state.unpersist(blocking = false)
   }
 }

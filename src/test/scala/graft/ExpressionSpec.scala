@@ -56,6 +56,28 @@ class ExpressionSpec extends AnyFunSuite {
     assert(df.collect().forall(_.getBoolean(0)))
   }
 
+  test("robots disallow expression: value parity, null→allowed, codegen-resident") {
+    import spark.implicits._
+    val df = spark.range(60).select(
+      concat(lit("https://www.a.com"),
+        when(pmod($"id", lit(2)) === 0, concat(lit("/private/x-"), $"id"))
+          .otherwise(concat(lit("/news/y-"), $"id"))).as("url"),
+      when(pmod($"id", lit(3)) === 0, array(lit("/private/"), lit("/tmp/")))
+        .when(pmod($"id", lit(3)) === 1, lit(null).cast("array<string>"))
+        .otherwise(array().cast("array<string>")).as("disallow"))
+    val out = df.select($"url", $"disallow",
+      UrlExpressions.robots_disallowed($"disallow", $"url").as("dis"))
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("UDF"), plan)
+    assert(plan.toLowerCase.contains("robotsdisallowedexpr"), plan)
+    out.collect().foreach { r =>
+      val u = r.getString(0)
+      val rules = if (r.isNullAt(1)) null else r.getSeq[String](1)
+      assert(r.getBoolean(2) ===
+        graft.crawl.Robots.isDisallowedBy(rules, u), s"dis($u, $rules)")
+    }
+  }
+
   test("null propagation") {
     import spark.implicits._
     val df = Seq[Option[String]](None, Some("https://www.a.com/x"))

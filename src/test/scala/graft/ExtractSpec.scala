@@ -112,6 +112,44 @@ class ExtractSpec extends AnyFunSuite {
     assert(e.publishDate === "2023-05-06 10:30:00")
   }
 
+  test("F15 date parity breadth: tz suffixes, Italian months, 2-digit years (utils.py:277-305)") {
+    import graft.extract.Extractors._
+    // tz-suffixed ISO forms keep the literal clock fields: dateutil
+    // parses the offset into tzinfo, and the reference's
+    // strftime('%Y-%m-%d %H:%M:%S') prints the naive fields unconverted
+    assert(parseDateStr("2023-05-06T10:30:00Z") === "2023-05-06 10:30:00")
+    assert(parseDateStr("2023-05-06 10:30:00+02:00") === "2023-05-06 10:30:00")
+    assert(parseDateStr("2023-05-06T10:30:00.123-05:00") === "2023-05-06 10:30:00")
+    // Italian textual months (body-text path): weekday optional,
+    // accented + abbreviated forms, 4-digit years
+    assert(getDateFromStringByLanguage(
+      "pubblicato martedì 12 marzo 2024 a roma", "it") === "2024-03-12 00:00:00")
+    assert(getDateFromStringByLanguage(
+      "aggiornato  05 ottobre 1987 in serata", "it") === "1987-10-05 00:00:00")
+    // 2-digit years: the reference's year group is `(\d\d(?:\d\d))?` —
+    // the inner (?:\d\d) is mandatory, so it matches 4 digits or
+    // NOTHING. "… 03 gen 99" leaves the group None → the reference
+    // builds "None-1-3" → dateutil raises → None. Faithful = null
+    // (verified against the reference regex in situ; no 2-digit-year
+    // divergence exists)
+    assert(getDateFromStringByLanguage(
+      "lunedì 03 gen 99 cronaca", "it") === null)
+    assert(getDateFromStringByLanguage(
+      "ven 07 mag 24 aggiornamento", "it") === null)
+    // year absent → reference builds 'None-…' → dateutil raises → None
+    assert(getDateFromStringByLanguage("il 12 marzo , oggi", "it") === null)
+    // non-Italian language: the table is it-only in the reference
+    assert(getDateFromStringByLanguage("lunedì 03 gennaio 1999", "en") === null)
+  }
+
+  test("publish date from Italian body text when URL+metas have none (extractors.py:236)") {
+    val html = s"""<html lang="it"><head><title>T</title></head>
+      |<body><div><p>Cronaca pubblicata giovedì 21 novembre 2024 dal nostro inviato. $P1</p></div></body></html>""".stripMargin
+    val e = ArticleExtractor.extractStr(html,
+      "https://www.host0.example.com/article/pezzo", "host0.example.com", true)
+    assert(e.publishDate === "2024-11-21 00:00:00")
+  }
+
   test("authors byline parsing + title-casing (extractors.py:106-172)") {
     val html = s"""<html lang="it"><head><title>T</title>
       |<meta name="author" content="By mario rossi and luca BIANCHI"/></head>

@@ -42,6 +42,39 @@ class MultimodalSpec extends AnyFunSuite {
     assert(Multimodal.decodeMeta(cut).format === "unknown")
   }
 
+  test("real WAV RIFF header parse: rate/channels/frames/duration") {
+    val wav = Multimodal.encodeWav(16000, 2, 1234, seed = 5L)
+    assert(wav.take(4).toSeq === "RIFF".getBytes("US-ASCII").toSeq)
+    val m = Multimodal.decodeMeta(wav)
+    assert(m.format === "wav")
+    assert(m.sampleRate === 16000 && m.channels === 2)
+    assert(m.nFrames === 1234)
+    assert(m.durationMs === 1234L * 1000 / 16000)
+    assert(m.nBytes === wav.length.toLong)
+    // determinism + mono variant
+    assert(java.util.Arrays.equals(wav, Multimodal.encodeWav(16000, 2, 1234, 5L)))
+    val mono = Multimodal.decodeMeta(Multimodal.encodeWav(8000, 1, 80, 1L))
+    assert(mono.channels === 1 && mono.durationMs === 10L)
+    // truncated RIFF (no fmt/data chunks) -> unknown, not a crash
+    assert(Multimodal.decodeMeta(wav.take(12)).format === "unknown")
+  }
+
+  test("real MP4 moov/mvhd/tkhd parse: duration + track dims") {
+    val mp4 = Multimodal.encodeTinyMp4(640, 360, durationUnits = 2500,
+      timescale = 1000)
+    assert(new String(mp4.slice(4, 8), "US-ASCII") === "ftyp")
+    val m = Multimodal.decodeMeta(mp4)
+    assert(m.format === "mp4")
+    assert(m.width === 640 && m.height === 360)
+    assert(m.durationMs === 2500L)
+    // non-millisecond timescale converts
+    val m2 = Multimodal.decodeMeta(
+      Multimodal.encodeTinyMp4(320, 240, durationUnits = 90000, timescale = 30000))
+    assert(m2.durationMs === 3000L)
+    // an ftyp with no moov -> unknown, not a crash
+    assert(Multimodal.decodeMeta(mp4.take(24)).format === "unknown")
+  }
+
   test("entropy is deterministic and bounded [0,8]") {
     val img = Multimodal.encodeFakeImage(32, 32, seed = 7L)
     val e1 = Multimodal.byteEntropy(img)
