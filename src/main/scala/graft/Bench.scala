@@ -151,7 +151,7 @@ object Bench {
     // parallel-work-over-floor ratio the 2-vs-8 efficiency measures
     // (the affine model in BASELINE.md), the lever VERDICT r3 #1 names.
     nPages = sys.env.get("SPARK_GRAFT_BENCH_PAGES").map(_.toLong)
-      .getOrElse(math.max(100000L, 630L * cpusEnv * budgetEnv)),
+      .getOrElse(math.max(100000L, 660L * cpusEnv * budgetEnv)),
     nHosts = sys.env.getOrElse("SPARK_GRAFT_BENCH_HOSTS", "1536").toInt,
     megaShare = 0.05)
 
