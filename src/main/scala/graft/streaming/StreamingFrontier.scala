@@ -39,8 +39,14 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object StreamingFrontier {
 
+  /** `delayMs`: per-host robots `Crawl-delay` in milliseconds, riding ON
+    * the candidate (the rules table is joined into the candidate stream
+    * upstream, in-plan — scalable to 10^8 hosts, unlike a driver-held
+    * host→delay map). 0 = no host delay; the effective cooldown is
+    * max(minDelayMs, delayMs).
+    */
   case class Candidate(url: String, host: String, isWebnews: Boolean,
-                       discSeq: Long)
+                       discSeq: Long, delayMs: Long = 0L)
   case class ScheduledFetch(url: String, host: String, rank: Long)
   case class HostState(pending: List[Candidate], seenKeys: Set[Long],
                        emitted: Long, nextFetchTime: Long)
@@ -71,8 +77,13 @@ object StreamingFrontier {
     h ^ (h >>> 33)
   }
 
+  /** `hostDelays`: set true when candidates may carry per-host
+    * `Crawl-delay` values (`Candidate.delayMs`) even with
+    * `minDelayMs == 0` — it keeps the ProcessingTimeTimeout machinery
+    * on so delayed hosts get their cooldown wakeups.
+    */
   def scheduleFn(budget: Int, maxPending: Int, maxSeenKeys: Int,
-                 minDelayMs: Long)(
+                 minDelayMs: Long, hostDelays: Boolean = false)(
       host: String, in: Iterator[Candidate],
       state: GroupState[HostState]): Iterator[ScheduledFetch] = {
     val cur = state.getOption.getOrElse(HostState(Nil, Set.empty, 0L, 0L))
@@ -80,13 +91,16 @@ object StreamingFrontier {
     val fresh = in.toList.filter(c => !cur.seenKeys.contains(urlKey(c.url)))
       .distinctBy(_.url)
     val all = (cur.pending ++ fresh).sortBy(prio)
-    val now =
-      if (minDelayMs > 0) state.getCurrentProcessingTimeMs() else 0L
+    // effective cooldown: global floor ∨ the host's robots Crawl-delay
+    // (uniform per host; fold defends against mixed upstream values)
+    val delayMs = all.foldLeft(minDelayMs)((m, c) => math.max(m, c.delayMs))
+    val cooling = minDelayMs > 0 || hostDelays
+    val now = if (cooling) state.getCurrentProcessingTimeMs() else 0L
 
     def bound(keys: Set[Long]): Set[Long] =
       if (keys.size <= maxSeenKeys) keys else keys.take(maxSeenKeys)
 
-    if (minDelayMs > 0 && !state.hasTimedOut && now < cur.nextFetchTime) {
+    if (cooling && !state.hasTimedOut && now < cur.nextFetchTime) {
       // cooldown: buffer only (bounded), re-arm the wakeup
       val bounded = all.take(maxPending)
       state.update(cur.copy(
@@ -102,10 +116,14 @@ object StreamingFrontier {
         bound(cur.seenKeys ++ emit.map(c => urlKey(c.url))
           ++ bounded.map(c => urlKey(c.url))),
         cur.emitted + emit.length,
-        if (minDelayMs > 0) now + minDelayMs else 0L))
-      // backlog remains → wake this host up after the politeness window
-      if (minDelayMs > 0 && bounded.nonEmpty)
-        state.setTimeoutDuration(minDelayMs)
+        if (delayMs > 0) now + delayMs else 0L))
+      // backlog remains → wake this host up after the politeness window.
+      // A zero-delay host still gets a (next-batch) wakeup when the
+      // timeout machinery is on: without it, its backlog would drain
+      // only when NEW input arrives for that host — flatMapGroupsWithState
+      // never calls a group that has neither input nor a timeout.
+      if (cooling && bounded.nonEmpty)
+        state.setTimeoutDuration(math.max(delayMs, 1L))
       emit.iterator.zipWithIndex.map { case (c, i) =>
         ScheduledFetch(c.url, host, cur.emitted + i + 1)
       }
@@ -113,19 +131,32 @@ object StreamingFrontier {
   }
 
   /** Attach the politeness operator to a candidate stream. `minDelayMs`
-    * > 0 enables rate limiting via ProcessingTimeTimeout.
+    * > 0 (global floor) or `hostDelays` (per-host robots Crawl-delay on
+    * `Candidate.delayMs`) enables rate limiting via
+    * ProcessingTimeTimeout.
+    *
+    * OPERATIONAL NOTE: once ProcessingTimeTimeout is on, Spark's
+    * `FlatMapGroupsWithStateExec.shouldRunAnotherBatch` is
+    * unconditionally true, so the query constructs a micro-batch every
+    * trigger even with no input (that is what delivers cooldown
+    * wakeups) and never reports `noNewData` —
+    * `StreamingQuery.processAllAvailable()` will block indefinitely and
+    * `Trigger.ProcessingTime(0)` spins hot. Run cooled queries with a
+    * real trigger interval (≈ the smallest host delay) and await
+    * progress by sink observation, not processAllAvailable.
     */
   def schedule(spark: SparkSession, candidates: Dataset[Candidate],
                budget: Int, maxPending: Int = 100000,
                maxSeenKeys: Int = 500000,
-               minDelayMs: Long = 0L): Dataset[ScheduledFetch] = {
+               minDelayMs: Long = 0L,
+               hostDelays: Boolean = false): Dataset[ScheduledFetch] = {
     import spark.implicits._
     val timeout =
-      if (minDelayMs > 0) GroupStateTimeout.ProcessingTimeTimeout
+      if (minDelayMs > 0 || hostDelays) GroupStateTimeout.ProcessingTimeTimeout
       else GroupStateTimeout.NoTimeout
     candidates
       .groupByKey(_.host)
       .flatMapGroupsWithState(OutputMode.Append, timeout)(
-        scheduleFn(budget, maxPending, maxSeenKeys, minDelayMs))
+        scheduleFn(budget, maxPending, maxSeenKeys, minDelayMs, hostDelays))
   }
 }

@@ -120,4 +120,86 @@ class StreamingSpec extends AnyFunSuite {
     assert(e2.map(_.url) === Seq("h/u3", "h/u4"))
     assert(s2.get.nextFetchTime === 120000L)
   }
+
+  test("live hostDelays query: delayed host paces, zero-delay backlog drains") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Candidate]
+    // slow host carries a 600ms robots Crawl-delay on every candidate;
+    // fast host has none but a backlog (budget 2/call, 6 candidates)
+    input.addData(
+      ((1 to 6).map(i => Candidate(s"s/u$i", "slowH", isWebnews = false,
+        i.toLong, delayMs = 600L)) ++
+       (1 to 6).map(i => Candidate(s"f/u$i", "fastH", isWebnews = false,
+        i.toLong))): _*)
+    val scheduled = StreamingFrontier.schedule(spark, input.toDS(),
+      budget = 2, minDelayMs = 0L, hostDelays = true)
+    val q = scheduled.writeStream
+      .outputMode("append").format("memory").queryName("delayed")
+      .trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      // NOTE: do NOT call processAllAvailable() here. With
+      // ProcessingTimeTimeout, FlatMapGroupsWithStateExec
+      // .shouldRunAnotherBatch is unconditionally true, so the query
+      // constructs a batch every trigger forever and never reports
+      // noNewData — processAllAvailable() would block indefinitely.
+      // Poll the sink against a deadline instead.
+      def got: Seq[ScheduledFetch] =
+        spark.table("delayed").as[ScheduledFetch].collect().toSeq
+      // liveness with NO further input: the zero-delay host's backlog
+      // drains via next-batch wakeups; the delayed host drains through
+      // its cooldown timeouts (≥ 2 windows × 600ms)
+      val deadline = System.currentTimeMillis() + 60000
+      while (got.length < 12 && System.currentTimeMillis() < deadline)
+        Thread.sleep(100)
+      val all = got
+      assert(all.count(_.host == "fastH") === 6, "fast backlog drained")
+      assert(all.count(_.host == "slowH") === 6, "delayed host drained")
+      // cumulative per-host ranks dense from 1, priority (discSeq) order
+      assert(all.filter(_.host == "slowH").sortBy(_.rank).map(_.url) ===
+        (1 to 6).map(i => s"s/u$i"))
+      assert(all.filter(_.host == "fastH").sortBy(_.rank).map(_.url) ===
+        (1 to 6).map(i => s"f/u$i"))
+      assert(all.filter(_.host == "slowH").map(_.rank).sorted ===
+        (1L to 6L))
+    } finally q.stop()
+  }
+
+  test("per-host robots Crawl-delay on the candidate sets the cooldown") {
+    import org.apache.spark.sql.streaming.TestGroupState
+    // no global floor; delays ride on the candidates (hostDelays = true)
+    val fn = StreamingFrontier.scheduleFn(budget = 2, maxPending = 100,
+      maxSeenKeys = 1000, minDelayMs = 0L, hostDelays = true) _
+    def st(prev: Option[StreamingFrontier.HostState], nowMs: Long,
+           timedOut: Boolean) =
+      TestGroupState.create[StreamingFrontier.HostState](
+        prev.map(org.apache.spark.api.java.Optional.of[StreamingFrontier.HostState])
+          .getOrElse(org.apache.spark.api.java.Optional.empty[StreamingFrontier.HostState]()),
+        org.apache.spark.sql.streaming.GroupStateTimeout.ProcessingTimeTimeout,
+        nowMs, org.apache.spark.api.java.Optional.empty[Long](), hasTimedOut = false)
+
+    // delayed host: Crawl-delay 30s rides on each candidate
+    val sD = st(Option.empty, 0L, timedOut = false)
+    val dCands = (1 to 4).map(i => StreamingFrontier.Candidate(
+      s"d/u$i", "slow", isWebnews = false, i.toLong, delayMs = 30000L))
+    val eD = fn("slow", dCands.iterator, sD).toList
+    assert(eD.length === 2)
+    assert(sD.get.nextFetchTime === 30000L) // the host's own delay
+    assert(sD.getTimeoutTimestampMs.isPresent)
+    // inside the window: buffered
+    val sD1 = st(Option(sD.get), 10000L, timedOut = false)
+    assert(fn("slow", Iterator(StreamingFrontier.Candidate(
+      "d/u5", "slow", isWebnews = false, 5L, delayMs = 30000L)), sD1).isEmpty)
+    // an undelayed host emits every call with no cooldown armed
+    val sF = st(Option.empty, 0L, timedOut = false)
+    val fCands = (1 to 4).map(i => StreamingFrontier.Candidate(
+      s"f/u$i", "fast", isWebnews = false, i.toLong))
+    assert(fn("fast", fCands.iterator, sF).toList.length === 2)
+    assert(sF.get.nextFetchTime === 0L)
+    // backlog liveness: even with no host delay, the wakeup is armed so
+    // the pending queue drains without waiting for new input
+    assert(sF.getTimeoutTimestampMs.isPresent)
+    val sF1 = st(Option(sF.get), 1L, timedOut = false)
+    assert(fn("fast", Iterator.empty, sF1).toList.length === 2)
+  }
 }
