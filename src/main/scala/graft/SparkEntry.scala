@@ -368,7 +368,8 @@ object SparkEntry {
     // Article extraction as a queryable operator over a deterministic
     // synthetic web SIZED BY the scale-factor dir (rows-only;
     // byte-identity is covered by sbt test). lineitem's row count is the
-    // dir's true sf proxy (documents stays ~constant across sf).
+    // dir's sf proxy (it scales linearly with sf in every testdata
+    // generation; documents/embeddings have scaled sublinearly).
     "q24_article_extract" -> ((s, dir) => {
       import s.implicits._
       val sfRows = t(s, dir, "lineitem").count()
@@ -384,6 +385,14 @@ object SparkEntry {
         }
       }.toDF("url", "title", "n_text_chars", "publish_date")
     }),
+
+    // Training-data: IVF approximate ANN (partition-pruned scale path;
+    // rows-only — the spherical-k-means quantizer's recall vs brute
+    // force is gated in OperatorsSpec)
+    "q31_ann_ivf" -> ((s, dir) =>
+      Similarity.ivfTopK(t(s, dir, "embeddings"), "vec_id", "embedding",
+        $"vec_id" < 50, k = 5, dim = 64, nlist = 16, nProbe = 4)
+        .select($"qid", $"nid", $"rank")),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -47,6 +47,41 @@ object VectorKernels {
     (z & 1L) == 0L
   }
 
+  /** Dots of `v` against `centroids.length / dim` pre-normalized
+    * centroids (flat row-major matrix) in one primitive pass, returning
+    * the `nProbe` nearest centroid ids best-first (ties → lower id).
+    * With unit-norm centroids, argmax over plain dots IS the cosine
+    * argmax (the row's own norm is constant across centroids), so the
+    * IVF coarse assignment needs no row normalization and no division.
+    */
+  def nearestCentroids(v: ArrayData, centroids: Array[Double], dim: Int,
+                       nProbe: Int): ArrayData = {
+    val nlist = centroids.length / dim
+    val n = math.min(dim, v.numElements())
+    val m = math.min(nProbe, nlist)
+    val bestIds = new Array[Int](m)
+    val bestSims = new Array[Double](m)
+    java.util.Arrays.fill(bestSims, Double.NegativeInfinity)
+    var c = 0
+    while (c < nlist) {
+      val off = c * dim
+      var s = 0.0
+      var i = 0
+      while (i < n) { s += v.getDouble(i) * centroids(off + i); i += 1 }
+      // size-m insertion (sims desc); strict comparisons keep the
+      // earlier (lower) centroid id ahead on exact ties
+      if (s > bestSims(m - 1)) {
+        var j = m - 1
+        while (j > 0 && bestSims(j - 1) < s) {
+          bestSims(j) = bestSims(j - 1); bestIds(j) = bestIds(j - 1); j -= 1
+        }
+        bestSims(j) = s; bestIds(j) = c
+      }
+      c += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(bestIds)
+  }
+
   /** All `tables` random-hyperplane signatures of `v` in ONE primitive
     * pass (tables × bits × dim fused multiply-adds). Expanding this as
     * per-element Catalyst expressions generates O(tables·bits·dim) Java —
@@ -121,6 +156,31 @@ case class PlaneSigsExpr(child: Expression, dim: Int, bits: Int, tables: Int)
     copy(child = c)
 }
 
+/** nearest_centroids(array<double>) → array<int>: the `nProbe` nearest
+  * of the pre-normalized flat `centroids` matrix by dot product — the
+  * IVF coarse-quantizer assignment, codegen-resident. The matrix rides
+  * in `references` (not the generated source), so plans with different
+  * trained centroids share one compiled class.
+  */
+case class NearestCentroidsExpr(child: Expression, centroids: Array[Double],
+                                dim: Int, nProbe: Int)
+    extends UnaryExpression {
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.IntegerType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(a: Any): Any =
+    VectorKernels.nearestCentroids(
+      a.asInstanceOf[ArrayData], centroids, dim, nProbe)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cRef = ctx.addReferenceObj("ivfCentroids", centroids, "double[]")
+    defineCodeGen(ctx, ev, a =>
+      s"graft.functions.VectorKernels.nearestCentroids($a, $cRef, $dim, $nProbe)")
+  }
+  override protected def withNewChildInternal(c: Expression): NearestCentroidsExpr =
+    copy(child = c)
+}
+
 object VectorExpressions {
   /** dot product of two array<double> columns (codegen'd). */
   def dot(a: Column, b: Column): Column =
@@ -137,4 +197,12 @@ object VectorExpressions {
   def plane_sigs(v: Column, dim: Int, bits: Int, tables: Int): Column =
     GraftColumnShim.column(PlaneSigsExpr(
       GraftColumnShim.expression(v), dim, bits, tables))
+
+  /** ids of the `nProbe` nearest of the flat pre-normalized `centroids`
+    * as array<int>, best first (codegen'd single-pass kernel).
+    */
+  def nearest_centroids(v: Column, centroids: Array[Double], dim: Int,
+                        nProbe: Int): Column =
+    GraftColumnShim.column(NearestCentroidsExpr(
+      GraftColumnShim.expression(v), centroids, dim, nProbe))
 }

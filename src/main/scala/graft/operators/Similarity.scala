@@ -100,6 +100,133 @@ object Similarity {
       .select($"id_a", $"id_b", $"sim")
   }
 
+  /** Spherical-k-means coarse quantizer for [[ivfTopK]], trained as
+    * Spark aggregations — the driver only ever holds the nlist×dim
+    * centroid matrix, never data. Deterministic throughout: seeds are
+    * the `nlist` vectors with the smallest (xxhash64(id), id); each
+    * Lloyd's round assigns via the codegen'd
+    * [[graft.functions.VectorExpressions.nearest_centroids]] kernel and
+    * re-estimates means with one (cid, pos) aggregation; means are
+    * re-normalized to unit L2 and ROUNDED to 9 decimals so shuffle-order
+    * FP noise can never leak into assignments. Empty clusters keep their
+    * previous centroid.
+    *
+    * At 100 TB train on a hash-sample (`sampleMod` > 1): IVF quantizers
+    * are customarily trained on a corpus sample (the sample is the only
+    * thing the `iters+1` training scans touch); assignment in
+    * [[ivfTopK]] still covers every row.
+    *
+    * Returns the flat row-major unit-norm centroid matrix.
+    */
+  def trainIvfCentroids(corpus: DataFrame, idCol: String, embCol: String,
+                        dim: Int, nlist: Int, iters: Int = 3,
+                        sampleMod: Int = 1): Array[Double] = {
+    val n0 = withNorm(corpus, idCol, embCol).filter($"nrm" > 0)
+    val sampled =
+      if (sampleMod > 1)
+        n0.filter(pmod(xxhash64($"vec_id"), lit(sampleMod)) === 0)
+      else n0
+    // unit rows: spherical k-means clusters directions, not magnitudes
+    val u = sampled
+      .select($"vec_id", transform($"v", x => x / $"nrm").as("u"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      var cents: Array[Double] = u
+        .orderBy(xxhash64($"vec_id"), $"vec_id").limit(nlist)
+        .select($"u").collect()
+        .flatMap(_.getSeq[Double](0).padTo(dim, 0.0).take(dim))
+      val nl = cents.length / dim
+      if (nl == 0) return cents
+      var it = 0
+      while (it < iters) {
+        val stats = u.select(
+            element_at(graft.functions.VectorExpressions.nearest_centroids(
+              $"u", cents, dim, 1), 1).as("cid"),
+            posexplode($"u").as(Seq("pos", "x")))
+          .groupBy($"cid", $"pos")
+          .agg(sum($"x").as("s"), count(lit(1)).as("cnt"))
+          .collect()
+        val sums = new Array[Double](nl * dim)
+        val cnts = new Array[Long](nl)
+        stats.foreach { r =>
+          val cid = r.getInt(0); val pos = r.getInt(1)
+          if (cid < nl && pos < dim) {
+            sums(cid * dim + pos) = r.getDouble(2)
+            cnts(cid) = r.getLong(3)
+          }
+        }
+        val next = new Array[Double](nl * dim)
+        var c = 0
+        while (c < nl) {
+          val off = c * dim
+          if (cnts(c) == 0L) {
+            System.arraycopy(cents, off, next, off, dim)
+          } else {
+            var s2 = 0.0
+            var i = 0
+            while (i < dim) {
+              val m = sums(off + i) / cnts(c); next(off + i) = m; s2 += m * m
+              i += 1
+            }
+            val inv = if (s2 > 0) 1.0 / math.sqrt(s2) else 0.0
+            i = 0
+            while (i < dim) {
+              next(off + i) = math.rint(next(off + i) * inv * 1e9) / 1e9
+              i += 1
+            }
+          }
+          c += 1
+        }
+        cents = next
+        it += 1
+      }
+      cents
+    } finally u.unpersist(blocking = false)
+  }
+
+  /** IVF approximate top-k — the partition-pruned ANN scale path.
+    * A spherical-k-means coarse quantizer ([[trainIvfCentroids]])
+    * assigns every corpus vector ONE inverted list (`cid`) in a single
+    * codegen'd map-side pass (nlist·dim FMAs per row — no row blowup,
+    * unlike a centroid cross-join); each query probes its `nProbe`
+    * nearest lists and only those candidates are scored exactly.
+    *
+    * Shuffle profile at scale: queries (small by construction) broadcast
+    * with their probe lists exploded, the corpus STREAMS map-side
+    * through assignment + hash-join — zero corpus shuffle, and only
+    * ~nProbe/nlist of the corpus reaches the scoring kernel. For
+    * repeated query batches, persist the assigned corpus partitioned by
+    * `cid` once and skip re-assignment. Recall vs [[bruteForceTopK]] is
+    * quantified in OperatorsSpec.
+    */
+  def ivfTopK(corpus: DataFrame, idCol: String, embCol: String,
+              queryPred: Column, k: Int, dim: Int, nlist: Int,
+              nProbe: Int, iters: Int = 3, sampleMod: Int = 1): DataFrame = {
+    val cents = trainIvfCentroids(corpus, idCol, embCol, dim, nlist,
+      iters, sampleMod)
+    val n = withNorm(corpus, idCol, embCol)
+    // raw-vector dot vs unit centroids = cosine argmax (norm is constant
+    // per row) — assignment never divides or normalizes
+    val assigned = n.withColumn("cid",
+      element_at(graft.functions.VectorExpressions.nearest_centroids(
+        $"v", cents, dim, 1), 1))
+    val q = n.filter(queryPred)
+      .select($"vec_id".as("qid"), $"v".as("qv"), $"nrm".as("qn"))
+      .withColumn("cid", explode(
+        graft.functions.VectorExpressions.nearest_centroids(
+          $"qv", cents, dim, nProbe)))
+    // a corpus row has ONE cid and probe cids are distinct, so no
+    // candidate pair can appear twice — no dedup stage needed
+    val scored = assigned.join(broadcast(q), Seq("cid"))
+      .filter($"vec_id" =!= $"qid")
+      .withColumn("sim", dot($"qv", $"v") / ($"qn" * $"nrm"))
+    val w = Window.partitionBy($"qid").orderBy($"sim".desc, $"vec_id".asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter($"rank" <= k)
+      .select($"qid", $"vec_id".as("nid"), $"rank".cast("long").as("rank"),
+        $"sim")
+  }
+
   /** Multi-table LSH approximate top-k: queries probe their bucket in
     * each of `tables` independent hash tables; the candidate union is
     * ranked by exact cosine. `bits` trades bucket size vs per-table

@@ -169,6 +169,50 @@ class OperatorsSpec extends AnyFunSuite {
     assert(recall >= 0.5, s"ANN LSH recall $recall < 0.5")
   }
 
+  test("IVF ANN top-k recall ≥ 0.5 vs brute-force top-k, deterministic") {
+    val k = 3
+    val truth = Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+      col("vec_id") < 20, k).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def run() = Similarity.ivfTopK(emb, "vec_id", "embedding",
+      col("vec_id") < 20, k = k, dim = 64, nlist = 8, nProbe = 3)
+      .select($"qid", $"nid", $"rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val approx = run()
+    // every query answered, per-query ranks dense from 1 (≤ k), self
+    // never returned
+    assert(approx.map(_._1) === (0L until 20L).toSet)
+    approx.groupBy(_._1).foreach { case (_, rows) =>
+      assert(rows.map(_._3).toSeq.sorted === (1L to rows.size))
+    }
+    assert(approx.forall { case (q, n, _) => q != n })
+    val recall = approx.map(t => (t._1, t._2)).intersect(truth).size.toDouble /
+      truth.size
+    assert(recall >= 0.5, s"IVF ANN recall $recall < 0.5")
+    // training + assignment are deterministic end to end (seeded init,
+    // rounded re-normalized means): a second full run is identical
+    assert(run() === approx)
+  }
+
+  test("IVF quantizer: unit-norm centroids, total corpus coverage") {
+    val dim = 64
+    val cents = Similarity.trainIvfCentroids(emb, "vec_id", "embedding",
+      dim, nlist = 8, iters = 2)
+    assert(cents.length === 8 * dim)
+    (0 until 8).foreach { c =>
+      val n2 = (0 until dim).map(i => cents(c * dim + i)).map(x => x * x).sum
+      assert(math.abs(n2 - 1.0) < 1e-6, s"centroid $c norm2 $n2")
+    }
+    // one-pass assignment partitions the corpus: every row lands in
+    // exactly one inverted list and the list sizes sum to the row count
+    val n = Similarity.withNorm(emb, "vec_id", "embedding")
+    val assigned = n.withColumn("cid", element_at(
+      graft.functions.VectorExpressions.nearest_centroids($"v", cents, dim, 1), 1))
+    val sizes = assigned.groupBy($"cid").count().collect()
+    assert(sizes.map(_.getLong(1)).sum === emb.count())
+    assert(sizes.forall(r => r.getInt(0) >= 0 && r.getInt(0) < 8))
+  }
+
   test("brute-force cosine topk: k per query, self excluded, ranks 1..k") {
     val k = 5
     val top = Similarity.bruteForceTopK(emb, "vec_id", "embedding",
