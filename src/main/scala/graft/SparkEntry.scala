@@ -393,6 +393,60 @@ object SparkEntry {
       Similarity.ivfTopK(t(s, dir, "embeddings"), "vec_id", "embedding",
         $"vec_id" < 50, k = 5, dim = 64, nlist = 16, nProbe = 4)
         .select($"qid", $"nid", $"rank")),
+
+    // Training-data: corpus-level duplicated-segment removal (the
+    // CCNet/C4-style cross-document boilerplate-line dedup re-expressed
+    // over single-line text: 3-word non-overlapping segments present in
+    // ≥2 distinct docs are dropped everywhere, survivors rejoin in order)
+    "q32_segment_dedup" -> ((s, dir) =>
+      Dedup.duplicateSegments(t(s, dir, "documents"), "doc_id", "text",
+        segWords = 3, minDocs = 2)),
+
+    // Training-data: within-document repetition signals (Gopher-style
+    // quality rules: top-bigram mass fraction + duplicate-trigram
+    // fraction)
+    "q33_repetition" -> ((s, dir) => {
+      val base = t(s, dir, "documents")
+        .select($"doc_id", TextOps.tokens($"text").as("w"))
+        .select($"doc_id",
+          TextOps.shingles($"w", 2).as("bg"),
+          TextOps.shingles($"w", 3).as("tg"))
+      val top = base.select($"doc_id", explode($"bg").as("b"))
+        .groupBy($"doc_id", $"b").agg(count(lit(1)).as("c"))
+        .groupBy($"doc_id").agg(max($"c").as("top_c"), sum($"c").as("n_bg"))
+      base.select($"doc_id",
+          size($"tg").cast("long").as("n_tg"),
+          size(array_distinct($"tg")).cast("long").as("n_tg_d"))
+        .join(top, Seq("doc_id"), "left")
+        .select($"doc_id",
+          round(coalesce($"top_c".cast("double") / $"n_bg", lit(0.0)), 9)
+            .as("top_bigram_frac"),
+          round(when($"n_tg" > 0,
+            ($"n_tg" - $"n_tg_d").cast("double") / $"n_tg").otherwise(0.0), 9)
+            .as("dup_trigram_frac"))
+    }),
+
+    // Training-data: near-dup cluster resolution — connected components
+    // (min-label + pointer jumping) over a rare-shingle co-occurrence
+    // graph (docs sharing a trigram that occurs in EXACTLY 2 docs);
+    // cluster id = component-min doc_id, singletons their own cluster
+    "q34_dup_clusters" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val sh = d.select($"doc_id",
+        explode(array_distinct(TextOps.shingles(TextOps.tokens($"text"), 3)))
+          .as("shingle"))
+      val rare = sh.groupBy($"shingle").agg(count(lit(1)).as("nd"))
+        .filter($"nd" === 2).select($"shingle")
+      val e = sh.join(rare, Seq("shingle"))
+      val pairs = e.as("a").join(e.as("b"),
+          col("a.shingle") === col("b.shingle") &&
+          col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("src"), col("b.doc_id").as("dst"))
+        .distinct()
+      Dedup.connectedComponents(pairs, "src", "dst",
+          d.select($"doc_id"), "doc_id")
+        .select($"v".as("doc_id"), $"component".as("cluster"))
+    }),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -660,5 +714,73 @@ object SparkEntry {
         |            ELSE 8 + doc_id % 5 END AS INTEGER) AS height,
         |  CAST(1 AS BIGINT) AS n_frames
         |FROM documents""".stripMargin,
+
+    "q32_segment_dedup" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(text, ' +'), x -> len(x) > 0) AS w
+        |  FROM documents),
+        |seglist AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(w) = 0 THEN CAST([] AS VARCHAR[]) ELSE
+        |      list_transform(range(0, ((len(w) - 1) // 3) + 1),
+        |        p -> array_to_string(w[(p*3+1):(p*3+3)], ' ')) END AS segs
+        |  FROM toks),
+        |seg AS (
+        |  SELECT doc_id, unnest(range(0, len(segs))) AS pos, unnest(segs) AS segment
+        |  FROM seglist),
+        |freq AS (SELECT segment, count(DISTINCT doc_id) AS nd FROM seg GROUP BY segment),
+        |agg AS (
+        |  SELECT doc_id,
+        |    count(*) AS n_segments,
+        |    sum(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS n_dropped,
+        |    coalesce(string_agg(CASE WHEN nd < 2 THEN segment END, ' ' ORDER BY pos), '') AS clean_text
+        |  FROM seg JOIN freq USING (segment) GROUP BY doc_id)
+        |SELECT d.doc_id, coalesce(a.clean_text, '') AS clean_text,
+        |  CAST(coalesce(a.n_segments, 0) AS BIGINT) AS n_segments,
+        |  CAST(coalesce(a.n_dropped, 0) AS BIGINT) AS n_dropped
+        |FROM documents d LEFT JOIN agg a USING (doc_id)""".stripMargin,
+
+    "q33_repetition" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(text, ' +'), x -> len(x) > 0) AS w
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id,
+        |    list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1]) AS bg,
+        |    list_transform(range(1, len(w) - 1), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) AS tg
+        |  FROM toks),
+        |bgr AS (
+        |  SELECT doc_id, b, count(*) AS c
+        |  FROM (SELECT doc_id, unnest(bg) AS b FROM g) GROUP BY 1, 2),
+        |top AS (SELECT doc_id, max(c) AS top_c, sum(c) AS n_bg FROM bgr GROUP BY doc_id)
+        |SELECT g.doc_id,
+        |  round(coalesce(CAST(top.top_c AS DOUBLE) / top.n_bg, 0.0), 9) AS top_bigram_frac,
+        |  round(CASE WHEN len(tg) > 0
+        |    THEN CAST(len(tg) - len(list_distinct(tg)) AS DOUBLE) / len(tg)
+        |    ELSE 0.0 END, 9) AS dup_trigram_frac
+        |FROM g LEFT JOIN top USING (doc_id)""".stripMargin,
+
+    "q34_dup_clusters" ->
+      """WITH RECURSIVE toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(text, ' +'), x -> len(x) > 0) AS w
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(w) - 1),
+        |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS shingle
+        |  FROM toks WHERE len(w) >= 3),
+        |rare AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) = 2),
+        |edges AS (
+        |  SELECT DISTINCT a.doc_id AS u, b.doc_id AS v
+        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  WHERE a.shingle IN (SELECT shingle FROM rare)),
+        |und AS (SELECT u, v FROM edges UNION SELECT v, u FROM edges),
+        |verts AS (SELECT DISTINCT u AS x FROM und),
+        |reach(x, r) AS (
+        |  SELECT x, x FROM verts
+        |  UNION
+        |  SELECT e.v, reach.r FROM reach JOIN und e ON e.u = reach.x),
+        |comp AS (SELECT x AS doc_id, min(r) AS cluster FROM reach GROUP BY x)
+        |SELECT d.doc_id, CAST(coalesce(c.cluster, d.doc_id) AS BIGINT) AS cluster
+        |FROM documents d LEFT JOIN comp c USING (doc_id)""".stripMargin,
   )
 }

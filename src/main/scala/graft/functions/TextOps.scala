@@ -31,6 +31,19 @@ object TextOps {
         sequence(lit(1), size(toks) - lit(n - 1)),
         i => concat_ws(" ", (0 until n).map(k => element_at(toks, i + lit(k))): _*)))
 
+  /** Non-overlapping word segments of `n` tokens (the last may be
+    * shorter), single-space-joined — the unit of corpus-level
+    * duplicated-segment removal ([[graft.operators.Dedup.duplicateSegments]]).
+    * Empty token arrays give empty segment arrays (guarded explicitly:
+    * Spark's integer `(-1)/n` truncates toward zero, which would emit a
+    * phantom empty segment).
+    */
+  def segments(toks: Column, n: Int): Column =
+    when(size(toks) === 0, array().cast("array<string>")).otherwise(
+      transform(
+        sequence(lit(0), floor((size(toks) - lit(1)) / lit(n)).cast("int")),
+        p => array_join(slice(toks, p * lit(n) + lit(1), lit(n)), " ")))
+
   /** Ratio columns for quality scoring. Integer/integer division in Spark
     * promotes to double with IEEE-correct rounding — byte-stable across
     * engines (used by the DuckDB oracle too).

@@ -275,6 +275,122 @@ object Dedup {
       .distinct()
   }
 
+  /** Corpus-level duplicated-segment removal — the CCNet/C4-style
+    * "drop lines repeated across documents" pass, re-expressed over
+    * single-line web text: a segment is a non-overlapping `segWords`-token
+    * window ([[TextOps.segments]]). A segment occurring in ≥ `minDocs`
+    * DISTINCT documents is boilerplate and is dropped from every
+    * document; the survivors rejoin in document order. One row per input
+    * document: (doc_id, clean_text, n_segments, n_dropped) — docs whose
+    * segments are all dropped (or that are empty) keep a row with
+    * clean_text = "".
+    *
+    * Scale shape (100 TB): the frequency table groups on a 128-bit
+    * segment-hash PAIR (shuffle payload = 16 bytes + count, never segment
+    * text; two independent xxhash64 seeds make cross-segment collisions
+    * ~2^-128); the mark join is hash-partitioned on the same key and its
+    * build side is one row per key by construction (hot boilerplate
+    * segments skew the PROBE side only — AQE skew-split applies);
+    * reconstruction is one groupBy(doc_id) carrying only kept segments.
+    * Three shuffles, all O(corpus tokens).
+    */
+  def duplicateSegments(docs: DataFrame, idCol: String, textCol: String,
+                        segWords: Int = 10, minDocs: Int = 2): DataFrame = {
+    val ids = docs.select(col(idCol).cast("long").as("doc_id"))
+    val seg = docs
+      .select(col(idCol).cast("long").as("doc_id"),
+        TextOps.segments(TextOps.tokens(col(textCol)), segWords).as("segs"))
+      .select($"doc_id", posexplode($"segs").as(Seq("pos", "segment")))
+      .select($"doc_id", $"pos", $"segment",
+        xxhash64($"segment").as("h1"), xxhash64($"segment", lit(1)).as("h2"))
+    val freq = seg.groupBy($"h1", $"h2")
+      .agg(countDistinct($"doc_id").as("nd"))
+    // collect_list skips the when()'s null branch — only KEPT segments
+    // ride the reconstruction shuffle; sort_array orders the (pos, seg)
+    // structs by position (first struct field)
+    val agg = seg.join(freq, Seq("h1", "h2"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_segments"),
+        sum(when($"nd" >= minDocs, 1L).otherwise(0L)).as("n_dropped"),
+        sort_array(collect_list(when($"nd" < minDocs,
+          struct($"pos", $"segment")))).as("kept"))
+      .select($"doc_id",
+        array_join(transform($"kept", x => x.getField("segment")), " ")
+          .as("clean_text"),
+        $"n_segments", $"n_dropped")
+    ids.join(agg, Seq("doc_id"), "left")
+      .select($"doc_id",
+        coalesce($"clean_text", lit("")).as("clean_text"),
+        coalesce($"n_segments", lit(0L)).as("n_segments"),
+        coalesce($"n_dropped", lit(0L)).as("n_dropped"))
+  }
+
+  /** Connected components over an undirected edge list — the cluster-
+    * resolution step after any near-dup pair generator ([[minHashLsh]] /
+    * [[simHashPairs]] / [[ngramJaccardPairs]]): every document in a
+    * component maps to one representative, the component's minimum
+    * vertex id. Returns (v, component) for EVERY vertex of `vertices`
+    * (isolated vertices are their own component).
+    *
+    * Algorithm: min-label propagation accelerated with pointer jumping —
+    * each round a vertex adopts min(its label, its neighbors' labels,
+    * the label OF its label), Shiloach-Vishkin-style doubling — so
+    * convergence takes O(log diameter) rounds rather than O(diameter);
+    * near-dup components are short-diameter by construction, making a
+    * handful of rounds typical at corpus scale. Invariant kept by both
+    * steps: l(v) is a vertex of v's own component with l(v) ≤ v, so the
+    * fixpoint is exactly the component minimum. Each round is two hash
+    * joins + one groupBy(v) min, every shuffle on the 64-bit vertex id;
+    * labels are locally-checkpointed per round (lineage stays one round
+    * deep) with the predecessor's blocks freed eagerly, and convergence
+    * is detected by an aggregate — no driver-side collect of labels.
+    */
+  def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String,
+                          vertices: DataFrame, vCol: String,
+                          maxIters: Int = 64): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val e0 = edges.select(col(srcCol).cast("long").as("u"),
+      col(dstCol).cast("long").as("v"))
+    val b = e0.unionByName(e0.select($"v".as("u"), $"u".as("v")))
+      .distinct().persist(StorageLevel.MEMORY_AND_DISK)
+    var labels = vertices.select(col(vCol).cast("long").as("v")).distinct()
+      .select($"v", $"v".as("l"))
+      .localCheckpoint(true)
+    var converged = false
+    var it = 0
+    while (!converged && it < maxIters) {
+      val nbr = b.join(labels.withColumnRenamed("v", "u"), Seq("u"))
+        .select($"v", $"l")
+      // l is always itself a vertex id (initially v; later a min over
+      // vertex ids), so the label-of-label join is total
+      val jump = labels.join(
+        labels.select($"v".as("l"), $"l".as("l2")), Seq("l"))
+        .select($"v", $"l2".as("l"))
+      val next = labels.unionByName(nbr).unionByName(jump)
+        .groupBy($"v").agg(min($"l").as("l"))
+        .localCheckpoint(true)
+      val changed = next.join(labels.select($"v", $"l".as("l0")), Seq("v"))
+        .filter($"l" =!= $"l0").count()
+      freeCheckpoint(labels)
+      labels = next
+      converged = changed == 0
+      it += 1
+    }
+    require(converged, s"connectedComponents: not converged after $maxIters rounds")
+    b.unpersist(blocking = false)
+    labels.select($"v", $"l".as("component"))
+  }
+
+  /** Free a locally-checkpointed round's blocks (Dataset.unpersist cannot
+    * reach a LogicalRDD's storage — same seam as CrawlJob.freePending).
+    */
+  private def freeCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.logical match {
+      case l: org.apache.spark.sql.execution.LogicalRDD =>
+        l.rdd.unpersist(blocking = false)
+      case _ => df.unpersist(blocking = false)
+    }
+
   /** 64-bit SimHash over term frequencies, entirely in-plan: per-(doc,term)
     * counts, then 64 signed bit-sums, then bit reassembly. Two shuffles
     * (both on doc_id). Near-dup = small Hamming distance on the result.

@@ -286,6 +286,80 @@ class OperatorsSpec extends AnyFunSuite {
     assert(TextOps.langId("") === "und")
   }
 
+  test("duplicateSegments drops cross-doc boilerplate, keeps order, covers empty docs") {
+    import spark.implicits._
+    val d = Seq(
+      (0L, "a b c x y z a b c"), // segs: "a b c","x y z","a b c"
+      (1L, "a b c q r"),         // segs: "a b c","q r" (remainder segment)
+      (2L, ""),                  // empty doc keeps a row
+      (3L, "u v w")              // unique singleton segment
+    ).toDF("doc_id", "text")
+    val out = Dedup.duplicateSegments(d, "doc_id", "text",
+        segWords = 3, minDocs = 2)
+      .orderBy($"doc_id").collect()
+    // "a b c" occurs in docs 0 and 1 → dropped everywhere (BOTH its
+    // positions in doc 0), survivors rejoin in document order
+    assert(out(0).getString(1) === "x y z")
+    assert(out(0).getLong(2) === 3 && out(0).getLong(3) === 2)
+    assert(out(1).getString(1) === "q r")
+    assert(out(1).getLong(2) === 2 && out(1).getLong(3) === 1)
+    assert(out(2).getString(1) === "" && out(2).getLong(2) === 0L)
+    assert(out(3).getString(1) === "u v w" && out(3).getLong(3) === 0L)
+  }
+
+  test("connectedComponents labels every vertex with its component minimum") {
+    import spark.implicits._
+    // path 10-11-...-25 (diameter 15 → exercises pointer jumping),
+    // triangle 1-2-3, isolated 99
+    val path = (10L until 25L).map(i => (i, i + 1))
+    val edges = (path ++ Seq((1L, 2L), (2L, 3L), (3L, 1L))).toDF("src", "dst")
+    val verts = ((1L to 3L) ++ (10L to 25L) ++ Seq(99L)).toDF("v")
+    val cc = Dedup.connectedComponents(edges, "src", "dst", verts, "v")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((10L to 25L).forall(cc(_) === 10L))
+    assert((1L to 3L).forall(cc(_) === 1L))
+    assert(cc(99L) === 99L)
+  }
+
+  test("connectedComponents matches union-find on a seeded random graph") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    val n = 200
+    val edges = Seq.fill(150)((rnd.nextInt(n), rnd.nextInt(n)))
+      .filter { case (a, b) => a != b }
+    // union-by-min ground truth: each root is its component's min id
+    val parent = Array.tabulate(n)(identity)
+    def find(x: Int): Int =
+      if (parent(x) == x) x else { parent(x) = find(parent(x)); parent(x) }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val truth = (0 until n).map(v => v.toLong -> find(v).toLong).toMap
+    val cc = Dedup.connectedComponents(
+        edges.map { case (a, b) => (a.toLong, b.toLong) }.toDF("src", "dst"),
+        "src", "dst", (0L until n.toLong).toDF("v"), "v")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc === truth)
+  }
+
+  test("repetition signals: top-bigram and duplicate-trigram fractions") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-rep").toString
+    Seq((0L, "a b a b a"), (1L, "x"), (2L, ""))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = SparkEntry.queries("q33_repetition")(spark, dir)
+      .orderBy($"doc_id").collect()
+    // doc 0: bigrams [a b, b a, a b, b a] → top 2/4 = 0.5;
+    // trigrams [a b a, b a b, a b a] → (3-2)/3
+    assert(out(0).getDouble(1) === 0.5)
+    assert(out(0).getDouble(2) === 0.333333333)
+    // degenerate docs: no bigrams/trigrams → both 0.0
+    assert(out(1).getDouble(1) === 0.0 && out(1).getDouble(2) === 0.0)
+    assert(out(2).getDouble(1) === 0.0 && out(2).getDouble(2) === 0.0)
+  }
+
   test("all SparkEntry queries run and SQL-expressible ones are non-degenerate") {
     SparkEntry.queries.foreach { case (name, fn) =>
       val n = fn(spark, sf).count()
