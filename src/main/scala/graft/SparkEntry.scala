@@ -447,6 +447,26 @@ object SparkEntry {
           d.select($"doc_id"), "doc_id")
         .select($"v".as("doc_id"), $"component".as("cluster"))
     }),
+
+    // Training-data: deterministic content-hash sampling (reproducible
+    // held-out split selection — the sample is a pure function of the
+    // CONTENT, stable across reshards/reorders, unlike rand(); ~1/8 rate
+    // via the first md5 hex byte). Map-side only: no shuffle, the
+    // predicate rides the scan.
+    "q35_hash_sample" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .filter(substring(md5($"text"), 1, 2) < "20")
+        .select($"doc_id", $"source")),
+
+    // Training-data: corpus vocabulary statistics — global top-k tokens
+    // (two-phase: map-side partial counts, then a take-ordered final;
+    // never a single-reducer global sort)
+    "q36_top_tokens" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(explode(TextOps.tokens($"text")).as("token"))
+        .groupBy($"token").agg(count(lit(1)).as("n"))
+        .orderBy($"n".desc, $"token".asc)
+        .limit(20)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -782,5 +802,15 @@ object SparkEntry {
         |comp AS (SELECT x AS doc_id, min(r) AS cluster FROM reach GROUP BY x)
         |SELECT d.doc_id, CAST(coalesce(c.cluster, d.doc_id) AS BIGINT) AS cluster
         |FROM documents d LEFT JOIN comp c USING (doc_id)""".stripMargin,
+
+    "q35_hash_sample" ->
+      """SELECT doc_id, source FROM documents
+        |WHERE substr(md5(text), 1, 2) < '20'""".stripMargin,
+
+    "q36_top_tokens" ->
+      """SELECT token, count(*) AS n FROM (
+        |  SELECT unnest(list_filter(string_split_regex(text, ' +'), x -> len(x) > 0)) AS token
+        |  FROM documents)
+        |GROUP BY token ORDER BY n DESC, token LIMIT 20""".stripMargin,
   )
 }
