@@ -467,6 +467,14 @@ object SparkEntry {
         .groupBy($"token").agg(count(lit(1)).as("n"))
         .orderBy($"n".desc, $"token".asc)
         .limit(20)),
+
+    // Training-data: product-quantization ANN (memory-compression scale
+    // path: ADC scan over m-byte codes + exact shortlist re-rank;
+    // rows-only — recall vs brute force gated in OperatorsSpec)
+    "q37_ann_pq" -> ((s, dir) =>
+      Similarity.pqTopK(t(s, dir, "embeddings"), "vec_id", "embedding",
+        $"vec_id" < 50, k = 5, dim = 64, m = 8, ks = 32)
+        .select($"qid", $"nid", $"rank")),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

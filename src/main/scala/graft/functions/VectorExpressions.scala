@@ -82,6 +82,82 @@ object VectorKernels {
     new org.apache.spark.sql.catalyst.util.GenericArrayData(bestIds)
   }
 
+  /** Product-quantization encode: for each of `m` subspaces of `subdim =
+    * dim/m` dims, the id of the L2-nearest codebook entry (ks entries per
+    * subspace; flat layout codebooks[((mm*ks)+j)*subdim + i]). Ties →
+    * lower id (strict <). One primitive pass: m·ks·subdim FMAs.
+    */
+  def pqEncode(v: ArrayData, codebooks: Array[Double], dim: Int, m: Int,
+               ks: Int): ArrayData = {
+    val subdim = dim / m
+    val n = v.numElements()
+    val out = new Array[Int](m)
+    var mm = 0
+    while (mm < m) {
+      val vOff = mm * subdim
+      var best = 0
+      var bestD = Double.PositiveInfinity
+      var j = 0
+      while (j < ks) {
+        val cOff = ((mm * ks) + j) * subdim
+        var d = 0.0
+        var i = 0
+        while (i < subdim) {
+          val x = (if (vOff + i < n) v.getDouble(vOff + i) else 0.0) -
+            codebooks(cOff + i)
+          d += x * x
+          i += 1
+        }
+        if (d < bestD) { bestD = d; best = j }
+        j += 1
+      }
+      out(mm) = best
+      mm += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  /** Per-query ADC lookup table: lut[mm*ks + j] = dot(q_sub_mm, c_mm_j).
+    * Computed ONCE per query row; scoring any code word is then m array
+    * reads ([[pqAdc]]).
+    */
+  def pqLut(q: ArrayData, codebooks: Array[Double], dim: Int, m: Int,
+            ks: Int): ArrayData = {
+    val subdim = dim / m
+    val n = q.numElements()
+    val out = new Array[Double](m * ks)
+    var mm = 0
+    while (mm < m) {
+      val qOff = mm * subdim
+      var j = 0
+      while (j < ks) {
+        val cOff = ((mm * ks) + j) * subdim
+        var s = 0.0
+        var i = 0
+        while (i < subdim) {
+          s += (if (qOff + i < n) q.getDouble(qOff + i) else 0.0) *
+            codebooks(cOff + i)
+          i += 1
+        }
+        out(mm * ks + j) = s
+        j += 1
+      }
+      mm += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  /** Asymmetric-distance score: Σ_mm lut[mm*ks + codes[mm]] ≈ dot(q, x).
+    * m table reads per candidate — the PQ scan's whole per-row cost.
+    */
+  def pqAdc(codes: ArrayData, lut: ArrayData, ks: Int): Double = {
+    val m = codes.numElements()
+    var s = 0.0
+    var mm = 0
+    while (mm < m) { s += lut.getDouble(mm * ks + codes.getInt(mm)); mm += 1 }
+    s
+  }
+
   /** All `tables` random-hyperplane signatures of `v` in ONE primitive
     * pass (tables × bits × dim fused multiply-adds). Expanding this as
     * per-element Catalyst expressions generates O(tables·bits·dim) Java —
@@ -181,6 +257,64 @@ case class NearestCentroidsExpr(child: Expression, centroids: Array[Double],
     copy(child = c)
 }
 
+/** pq_encode(array<double>) → array<int> of `m` codebook ids (the PQ
+  * compressed representation), codegen-resident; codebooks ride in
+  * `references` so differently-trained plans share one compiled class.
+  */
+case class PqEncodeExpr(child: Expression, codebooks: Array[Double],
+                        dim: Int, m: Int, ks: Int)
+    extends UnaryExpression {
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.IntegerType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(a: Any): Any =
+    VectorKernels.pqEncode(a.asInstanceOf[ArrayData], codebooks, dim, m, ks)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cRef = ctx.addReferenceObj("pqCodebooks", codebooks, "double[]")
+    defineCodeGen(ctx, ev, a =>
+      s"graft.functions.VectorKernels.pqEncode($a, $cRef, $dim, $m, $ks)")
+  }
+  override protected def withNewChildInternal(c: Expression): PqEncodeExpr =
+    copy(child = c)
+}
+
+/** pq_lut(array<double>) → array<double> of m·ks partial dots (the
+  * per-query ADC table), codegen-resident.
+  */
+case class PqLutExpr(child: Expression, codebooks: Array[Double],
+                     dim: Int, m: Int, ks: Int)
+    extends UnaryExpression {
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(DoubleType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(a: Any): Any =
+    VectorKernels.pqLut(a.asInstanceOf[ArrayData], codebooks, dim, m, ks)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cRef = ctx.addReferenceObj("pqCodebooks", codebooks, "double[]")
+    defineCodeGen(ctx, ev, a =>
+      s"graft.functions.VectorKernels.pqLut($a, $cRef, $dim, $m, $ks)")
+  }
+  override protected def withNewChildInternal(c: Expression): PqLutExpr =
+    copy(child = c)
+}
+
+/** pq_adc(codes array<int>, lut array<double>) → double approximate dot,
+  * codegen-resident.
+  */
+case class PqAdcExpr(left: Expression, right: Expression, ks: Int)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    VectorKernels.pqAdc(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData], ks)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.VectorKernels.pqAdc($a, $b, $ks)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): PqAdcExpr =
+    copy(left = l, right = r)
+}
+
 object VectorExpressions {
   /** dot product of two array<double> columns (codegen'd). */
   def dot(a: Column, b: Column): Column =
@@ -205,4 +339,23 @@ object VectorExpressions {
                         nProbe: Int): Column =
     GraftColumnShim.column(NearestCentroidsExpr(
       GraftColumnShim.expression(v), centroids, dim, nProbe))
+
+  /** PQ codes (m ids into per-subspace codebooks) of an array<double>
+    * column (codegen'd single-pass kernel).
+    */
+  def pq_encode(v: Column, codebooks: Array[Double], dim: Int, m: Int,
+                ks: Int): Column =
+    GraftColumnShim.column(PqEncodeExpr(
+      GraftColumnShim.expression(v), codebooks, dim, m, ks))
+
+  /** Per-query ADC lookup table as array<double> (codegen'd). */
+  def pq_lut(q: Column, codebooks: Array[Double], dim: Int, m: Int,
+             ks: Int): Column =
+    GraftColumnShim.column(PqLutExpr(
+      GraftColumnShim.expression(q), codebooks, dim, m, ks))
+
+  /** Approximate dot from (codes, lut) — m array reads (codegen'd). */
+  def pq_adc(codes: Column, lut: Column, ks: Int): Column =
+    GraftColumnShim.column(PqAdcExpr(
+      GraftColumnShim.expression(codes), GraftColumnShim.expression(lut), ks))
 }

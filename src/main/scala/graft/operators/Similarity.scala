@@ -227,6 +227,142 @@ object Similarity {
         $"sim")
   }
 
+  /** Per-subspace product-quantization codebooks (Jégou et al., "Product
+    * Quantization for Nearest Neighbor Search", TPAMI 2011 — public
+    * algorithm), trained as Spark aggregations: plain L2 k-means in each
+    * of the `m` subspaces of `subdim = dim/m` dims, `ks` codewords each.
+    * Deterministic like [[trainIvfCentroids]]: seeds are the `ks` rows
+    * with smallest (xxhash64(id), id) (subvectors of the SAME rows seed
+    * every subspace), assignment ties break to the lower code id inside
+    * the codegen'd kernel, means are rounded to 9 decimals so
+    * shuffle-order FP noise cannot flip assignments, empty cells keep
+    * their previous codeword. Each Lloyd's round is ONE pass: the encode
+    * kernel + a (subspace, code, dim-index) aggregation — the driver only
+    * holds the m·ks·subdim matrix. Train on a hash-sample at scale
+    * (`sampleMod` > 1), like any PQ index build.
+    *
+    * Returns the flat codebook matrix laid out
+    * codebooks[((mm·ks)+j)·subdim + i].
+    */
+  def trainPqCodebooks(corpus: DataFrame, idCol: String, embCol: String,
+                       dim: Int, m: Int, ks: Int, iters: Int = 3,
+                       sampleMod: Int = 1): Array[Double] = {
+    require(dim % m == 0, s"dim=$dim not divisible by m=$m")
+    val subdim = dim / m
+    val n0 = withNorm(corpus, idCol, embCol)
+    val sampled =
+      if (sampleMod > 1)
+        n0.filter(pmod(xxhash64($"vec_id"), lit(sampleMod)) === 0)
+      else n0
+    val u = sampled.select($"vec_id", $"v")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val seedRows = u.orderBy(xxhash64($"vec_id"), $"vec_id").limit(ks)
+        .select($"v").collect()
+        .map(_.getSeq[Double](0).padTo(dim, 0.0).toArray)
+      if (seedRows.isEmpty) return new Array[Double](0)
+      var cbs = new Array[Double](m * ks * subdim)
+      for (mm <- 0 until m; j <- 0 until ks) {
+        // wrap when the corpus has < ks rows: duplicate codewords are
+        // harmless (argmin ties to the lower id; the copies stay empty)
+        val src = seedRows(j % seedRows.length)
+        System.arraycopy(src, mm * subdim, cbs, ((mm * ks) + j) * subdim, subdim)
+      }
+      var it = 0
+      while (it < iters) {
+        val enc = graft.functions.VectorExpressions
+          .pq_encode($"v", cbs, dim, m, ks)
+        val stats = u.select(enc.as("codes"), posexplode($"v").as(Seq("pos", "x")))
+          .filter($"pos" < dim)
+          .select(($"pos" / lit(subdim)).cast("int").as("mm"),
+            element_at($"codes", ($"pos" / lit(subdim)).cast("int") + 1).as("code"),
+            ($"pos" % lit(subdim)).cast("int").as("i"),
+            $"x")
+          .groupBy($"mm", $"code", $"i")
+          .agg(sum($"x").as("s"), count(lit(1)).as("cnt"))
+          .collect()
+        val sums = new Array[Double](m * ks * subdim)
+        val cnts = new Array[Long](m * ks)
+        stats.foreach { r =>
+          val mm = r.getInt(0); val code = r.getInt(1); val i = r.getInt(2)
+          if (mm < m && code < ks && i < subdim) {
+            sums(((mm * ks) + code) * subdim + i) = r.getDouble(3)
+            cnts(mm * ks + code) = r.getLong(4)
+          }
+        }
+        val next = new Array[Double](m * ks * subdim)
+        var c = 0
+        while (c < m * ks) {
+          val off = c * subdim
+          if (cnts(c) == 0L) System.arraycopy(cbs, off, next, off, subdim)
+          else {
+            var i = 0
+            while (i < subdim) {
+              next(off + i) = math.rint(sums(off + i) / cnts(c) * 1e9) / 1e9
+              i += 1
+            }
+          }
+          c += 1
+        }
+        cbs = next
+        it += 1
+      }
+      cbs
+    } finally u.unpersist(blocking = false)
+  }
+
+  /** PQ approximate top-k with asymmetric-distance scoring and exact
+    * re-rank — the MEMORY-COMPRESSION ANN scale path (complements
+    * [[ivfTopK]]'s partition pruning): the scan ranks against `m` small
+    * ints + one norm per row (m + 8 bytes ≈ 32× less than dim raw
+    * floats at dim=64, m=8), so a 100 TB embedding corpus's scorable
+    * representation fits the cluster's memory. dot(q,x) is approximated
+    * by Σ_mm lut[codes[mm]] — a per-query lookup table of m·ks partial
+    * dots built ONCE by a codegen'd kernel; each candidate costs m array
+    * reads. The `refine·k` best approximate hits per query are then
+    * re-scored EXACTLY against raw vectors (fetched for the shortlist
+    * only — a semi-join against the full corpus, never a second scan).
+    *
+    * Shuffle profile: queries broadcast with their LUTs; the code table
+    * streams map-side (zero corpus shuffle); the refine join moves only
+    * |Q|·refine·k rows. Recall vs [[bruteForceTopK]] quantified in
+    * OperatorsSpec.
+    */
+  def pqTopK(corpus: DataFrame, idCol: String, embCol: String,
+             queryPred: Column, k: Int, dim: Int, m: Int, ks: Int,
+             iters: Int = 3, sampleMod: Int = 1,
+             refine: Int = 8): DataFrame = {
+    val cbs = trainPqCodebooks(corpus, idCol, embCol, dim, m, ks,
+      iters, sampleMod)
+    val n = withNorm(corpus, idCol, embCol)
+    val codes = n.select($"vec_id",
+      graft.functions.VectorExpressions.pq_encode($"v", cbs, dim, m, ks)
+        .as("codes"),
+      $"nrm")
+    val q = n.filter(queryPred)
+      .select($"vec_id".as("qid"), $"v".as("qv"), $"nrm".as("qn"))
+      .withColumn("lut",
+        graft.functions.VectorExpressions.pq_lut($"qv", cbs, dim, m, ks))
+    val approx = codes.join(broadcast(q.select($"qid", $"qn", $"lut")),
+        $"vec_id" =!= $"qid")
+      .withColumn("asim",
+        graft.functions.VectorExpressions.pq_adc($"codes", $"lut", ks) /
+          ($"qn" * $"nrm"))
+    val wA = Window.partitionBy($"qid").orderBy($"asim".desc, $"vec_id".asc)
+    val short = approx.withColumn("arank", row_number().over(wA))
+      .filter($"arank" <= math.max(k, refine * k))
+      .select($"qid", $"vec_id")
+    val scored = short
+      .join(n, Seq("vec_id"))
+      .join(broadcast(q.select($"qid", $"qv", $"qn")), Seq("qid"))
+      .withColumn("sim", round(dot($"qv", $"v") / ($"qn" * $"nrm"), 9))
+    val w = Window.partitionBy($"qid").orderBy($"sim".desc, $"vec_id".asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter($"rank" <= k)
+      .select($"qid", $"vec_id".as("nid"), $"rank".cast("long").as("rank"),
+        $"sim")
+  }
+
   /** Multi-table LSH approximate top-k: queries probe their bucket in
     * each of `tables` independent hash tables; the candidate union is
     * ranked by exact cosine. `bits` trades bucket size vs per-table

@@ -194,6 +194,39 @@ class OperatorsSpec extends AnyFunSuite {
     assert(run() === approx)
   }
 
+  test("PQ ANN top-k recall ≥ 0.5 vs brute force, deterministic, codes in range") {
+    val k = 3
+    val truth = Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+      col("vec_id") < 20, k).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def run() = Similarity.pqTopK(emb, "vec_id", "embedding",
+      col("vec_id") < 20, k = k, dim = 64, m = 8, ks = 32)
+      .select($"qid", $"nid", $"rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val approx = run()
+    assert(approx.map(_._1) === (0L until 20L).toSet)
+    approx.groupBy(_._1).foreach { case (_, rows) =>
+      assert(rows.map(_._3).toSeq.sorted === (1L to rows.size))
+    }
+    assert(approx.forall { case (q, n, _) => q != n })
+    val recall = approx.map(t => (t._1, t._2)).intersect(truth).size.toDouble /
+      truth.size
+    assert(recall >= 0.5, s"PQ ANN recall $recall < 0.5")
+    // seeded init + rounded means + kernel-side tie-breaks: a second
+    // full train+encode+rank run is identical
+    assert(run() === approx)
+    // every code addresses a real codebook entry
+    val cbs = Similarity.trainPqCodebooks(emb, "vec_id", "embedding",
+      dim = 64, m = 8, ks = 32)
+    assert(cbs.length === 8 * 32 * 8)
+    val codes = Similarity.withNorm(emb, "vec_id", "embedding")
+      .select(graft.functions.VectorExpressions.pq_encode(
+        $"v", cbs, 64, 8, 32).as("codes"))
+      .select(explode($"codes").as("c"))
+    val mm = codes.agg(min($"c"), max($"c")).head
+    assert(mm.getInt(0) >= 0 && mm.getInt(1) < 32)
+  }
+
   test("IVF quantizer: unit-norm centroids, total corpus coverage") {
     val dim = 64
     val cents = Similarity.trainIvfCentroids(emb, "vec_id", "embedding",
