@@ -87,7 +87,15 @@ object CrawlJob {
       /** expire frontier snapshots older than the last `keepSnapshots`
         * every compaction (0 = never expire — keep full history)
         */
-      keepSnapshots: Int = 0)
+      keepSnapshots: Int = 0,
+      /** seed the frontier with the `Sitemap:` URLs advertised by the
+        * hosts' robots.txt bodies (sitemaps.org; appended after the
+        * user seed list in deterministic robots-url order) — the fetched
+        * sitemap bodies then yield their `<loc>` entries as ordinary
+        * frontier candidates (PageParse), cascading through
+        * sitemapindex → child sitemap → pages
+        */
+      discoverSitemaps: Boolean = false)
 
   /** scheme-stripped canonical key, in-plan (matches the reference's
     * UNIQUE key = url minus scheme, /root/reference/utils.py:334-340).
@@ -176,12 +184,29 @@ object CrawlJob {
     spark.read.textFile(path).collect()
       .map(_.trim).filter(_.nonEmpty).toSeq
 
+  /** Sitemap URLs advertised by the robots.txt pages (sitemaps.org
+    * `Sitemap:` lines). O(hosts) driver-side like the seed list itself;
+    * deterministic order: robots url asc, then line order in the body.
+    */
+  def sitemapSeeds(spark: SparkSession, cfg: Config): Seq[String] =
+    spark.read.parquet(cfg.pagesPath)
+      .filter($"url".endsWith("/robots.txt"))
+      .select($"url", $"text")
+      .collect()
+      .sortBy(_.getString(0))
+      .flatMap(r => Robots.sitemaps(r.getString(1)))
+      .toSeq
+
   /** Seed state (wave-0 pending base): cleaned, deduped (main.py:11-13),
-    * hostRank = seed order.
+    * hostRank = seed order; robots-advertised sitemap URLs append after
+    * the user seeds when `discoverSitemaps` is on.
     */
   def initState(spark: SparkSession, cfg: Config): DataFrame = {
     import spark.implicits._
-    val rows = cfg.seeds.zipWithIndex.map { case (s, i) =>
+    val allSeeds =
+      if (cfg.discoverSitemaps) cfg.seeds ++ sitemapSeeds(spark, cfg)
+      else cfg.seeds
+    val rows = allSeeds.zipWithIndex.map { case (s, i) =>
       val cleaned = UrlOps.cleanUrl(s, removeArguments = false)
       (cleaned, UrlOps.getPrincipalDomain(cleaned), i)
     }.distinctBy(_._1)

@@ -34,6 +34,19 @@ object PageParse {
             isWebnews: Boolean): Parsed = {
     val html = new String(htmlBytes, StandardCharsets.UTF_8)
     if (html.length < 200) return Empty // crawler.py:132
+    // Sitemap bodies (urlset page lists / sitemapindex child-sitemap
+    // lists) yield their <loc> values as frontier candidates — checked
+    // BEFORE the feed branch (isFeed accepts any <?xml prologue). A
+    // NEW-engine capability; the reference never reads sitemaps.
+    if (graft.extract.SitemapParse.isSitemap(html)) {
+      val seen = mutable.LinkedHashSet.empty[String]
+      graft.extract.SitemapParse.locs(html).foreach { l =>
+        val cleaned = UrlOps.cleanUrl(l, removeArguments = false)
+        if (UrlOps.isValidUrl(cleaned)) seen += cleaned
+      }
+      return Parsed(null, "", seen.toList, isWebnewsMeta = false, null,
+        Nil, Nil, Nil, "", "", null, Nil)
+    }
     // S8 — a fetched feed body yields its entry links as frontier
     // candidates (reference: feedparser entries inserted with scraped=0,
     // crawler.py:435-463; links cleaned with remove_arguments=False,
@@ -156,6 +169,17 @@ object Robots {
   /** (disallow prefixes, crawl-delay) for `agent` — parse + select. */
   def rulesFor(body: String, agent: String): (Seq[String], Double) =
     select(parseGroups(body), agent)
+
+  /** `Sitemap:` directives of a robots.txt body (sitemaps.org
+    * extension). GLOBAL per the spec — not scoped to any agent group —
+    * so they are collected independently of grouping; line order kept.
+    */
+  def sitemaps(body: String): List[String] =
+    body.linesIterator.map(_.trim)
+      .filter(_.toLowerCase.startsWith("sitemap:"))
+      .map(_.substring("sitemap:".length).trim)
+      .filter(_.nonEmpty)
+      .toList
 
   /** Disallow prefixes for the `*` agent (compat surface for the
     * truth-table tests and agent-agnostic callers).

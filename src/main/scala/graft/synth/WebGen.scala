@@ -22,7 +22,13 @@ import org.apache.spark.sql.functions._
   */
 object WebGen {
 
-  case class Config(nPages: Long, nHosts: Int, megaShare: Double = 0.5) {
+  case class Config(nPages: Long, nHosts: Int, megaShare: Double = 0.5,
+                    /** gate: add per-host robots `Sitemap:` lines, a
+                      * /sitemap.xml sitemapindex, a /sitemap-pages.xml
+                      * urlset, and 3 sitemap-only orphan pages per host.
+                      * OFF by default so the bench geometry is unchanged.
+                      */
+                    withSitemaps: Boolean = false) {
     require(nHosts >= 2 && nPages >= nHosts * 4L)
     require(megaShare > 0 && megaShare < 1)
     /** host sizes: host0 = megaShare of all pages (skew), remainder split
@@ -95,12 +101,28 @@ object WebGen {
     */
   def feedOrphans(nh: Long): Int = if (nh > 24) 4 else 0
 
+  /** Pages per host reachable ONLY through the host's sitemap (the
+    * range [nh−feed−3, nh−feed), just below the feed orphans) — fetching
+    * them proves sitemap ingestion. 0 unless `cfg.withSitemaps`.
+    */
+  def sitemapOrphans(cfg: Config, nh: Long): Int =
+    if (cfg.withSitemaps && nh > 24) 3 else 0
+
+  /** page numbers excluded from every link-target range (feed- and
+    * sitemap-only orphans).
+    */
+  def reservedOf(cfg: Config, nh: Long): Long =
+    feedOrphans(nh).toLong + sitemapOrphans(cfg, nh)
+
   /** Out-link page numbers of page p within host h (intra-host, closed
     * over the non-orphan range). Fan-out ≈ 6-12 so the frontier ramps to
     * data-bound waves quickly.
     */
-  def linkTargets(h: Int, p: Long, nh: Long): Seq[Long] = {
-    val span = nh - feedOrphans(nh) // orphans stay feed-only
+  def linkTargets(h: Int, p: Long, nh: Long): Seq[Long] =
+    linkTargets(h, p, nh, feedOrphans(nh).toLong)
+
+  def linkTargets(h: Int, p: Long, nh: Long, reserved: Long): Seq[Long] = {
+    val span = nh - reserved // orphans stay feed/sitemap-only
     if (p == 0L) {
       // hub: fan out to the first pages of the host
       (1L until math.min(13L, span)).toSeq
@@ -127,14 +149,18 @@ object WebGen {
   def hasCanonical(p: Long): Boolean =
     p % 5 == 2 && (p % 15 == 7 || p % 15 == 12)
   def canonicalUrlOf(h: Int, p: Long, nh: Long): String =
+    canonicalUrlOf(h, p, nh, feedOrphans(nh).toLong)
+  def canonicalUrlOf(h: Int, p: Long, nh: Long, reserved: Long): String =
     if (p % 15 == 7) base(h) + s"/canon/alt-$p.html"
     else {
       // deterministic in-range ordinary page: never the page itself and
       // never a /private/ (robots-disallowed) template — canon
       // attribution bypasses robots by design (it is a content update,
       // not a fetch), and the test invariant "no /private/ page escapes
-      // Disallowed" should stay meaningful
-      val span = math.max(1L, nh - feedOrphans(nh))
+      // Disallowed" should stay meaningful; the span also excludes the
+      // orphan block so a canon content-update can never pre-Fetch a
+      // page whose only discovery path the orphan tests rely on
+      val span = math.max(1L, nh - reserved)
       var q = (7 * p + 4) % span
       while (q == p || q % 5 == 0) q = (q + 1) % span
       urlOf(h, q)
@@ -147,12 +173,13 @@ object WebGen {
   def htmlOf(cfg: Config, h: Int, p: Long): String = {
     val nh = cfg.sizes(h)
     val b = base(h)
-    val targets = linkTargets(h, p, nh)
+    val reserved = reservedOf(cfg, nh)
+    val targets = linkTargets(h, p, nh, reserved)
     val sb = new StringBuilder(512)
     sb.append("<html lang=\"it\"><head><title>").append(titleOf(h, p))
       .append("</title>")
     if (hasCanonical(p))
-      sb.append("<link rel=\"canonical\" href=\"").append(canonicalUrlOf(h, p, nh)).append("\"/>")
+      sb.append("<link rel=\"canonical\" href=\"").append(canonicalUrlOf(h, p, nh, reserved)).append("\"/>")
     if (p == 0L) // hub advertises the host feed (S8 discovery cascade)
       sb.append("<link rel=\"alternate\" type=\"application/rss+xml\" href=\"/feed.xml\" title=\"feed\"/>")
     sb.append("</head><body>")
@@ -193,6 +220,39 @@ object WebGen {
 
   val RobotsBody = "User-agent: *\nDisallow: /private/\n"
 
+  /** robots body for host h: the base rules, plus the host's `Sitemap:`
+    * advert when the sitemap layer is on.
+    */
+  def robotsBodyOf(cfg: Config, h: Int): String =
+    if (cfg.withSitemaps) RobotsBody + s"Sitemap: ${base(h)}/sitemap.xml\n"
+    else RobotsBody
+
+  /** /sitemap.xml: a sitemapINDEX pointing at the host's urlset — the
+    * child sitemap URL is itself a frontier candidate, so ingestion
+    * exercises the two-level cascade. Comment-padded past the 200-char
+    * fetch gate.
+    */
+  def sitemapIndexBodyOf(cfg: Config, h: Int): String =
+    "<?xml version=\"1.0\" encoding=\"UTF-8\"?>" +
+      "<sitemapindex xmlns=\"http://www.sitemaps.org/schemas/sitemap/0.9\">" +
+      s"<sitemap><loc>${base(h)}/sitemap-pages.xml</loc></sitemap>" +
+      "</sitemapindex><!-- " + ("x" * 140) + " -->"
+
+  /** /sitemap-pages.xml: the urlset listing the host's sitemap-only
+    * orphan pages (no html link and no feed entry reaches them — S-layer
+    * ingestion is the only path).
+    */
+  def sitemapBodyOf(cfg: Config, h: Int): String = {
+    val nh = cfg.sizes(h)
+    val so = sitemapOrphans(cfg, nh)
+    val lo = nh - feedOrphans(nh) - so
+    val urls = (lo until lo + so)
+      .map(p => s"<url><loc>${urlOf(h, p)}</loc></url>").mkString
+    "<?xml version=\"1.0\" encoding=\"UTF-8\"?>" +
+      "<urlset xmlns=\"http://www.sitemaps.org/schemas/sitemap/0.9\">" +
+      urls + "</urlset><!-- " + ("x" * 140) + " -->"
+  }
+
   /** RSS 2.0 feed body for host h: one item per feed-orphan page (the
     * pages no html link reaches — S8 ingestion is the only path to
     * them). Single-line well-formed XML, >200 chars by construction.
@@ -210,19 +270,36 @@ object WebGen {
       "<!-- " + ("x" * 120) + " -->"
   }
 
+  /** Total generated rows (pages + per-host robots + feed rows, plus
+    * per-host sitemapindex + urlset rows when the sitemap layer is on).
+    */
+  def totalRows(cfg: Config): Long =
+    cfg.nPages + 2L * cfg.nHosts +
+      (if (cfg.withSitemaps) 2L * cfg.nHosts else 0L)
+
   /** Row i of the generated table: pages [0, nPages), robots rows
-    * [nPages, nPages+H), feed rows [nPages+H, nPages+2H).
+    * [nPages, nPages+H), feed rows [nPages+H, nPages+2H); with sitemaps
+    * on, sitemapindex rows [nPages+2H, nPages+3H) and urlset rows
+    * [nPages+3H, nPages+4H).
     */
   def rowAt(cfg: Config, i: Long): (String, Long, Array[Byte], String, String) = {
     val ts = 1700000000L + i
-    if (i >= cfg.nPages + cfg.nHosts) {
+    if (i >= cfg.nPages + 3L * cfg.nHosts) {
+      val h = (i - cfg.nPages - 3L * cfg.nHosts).toInt
+      val body = sitemapBodyOf(cfg, h)
+      (s"${base(h)}/sitemap-pages.xml", ts, body.getBytes("UTF-8"), "", "")
+    } else if (i >= cfg.nPages + 2L * cfg.nHosts) {
+      val h = (i - cfg.nPages - 2L * cfg.nHosts).toInt
+      val body = sitemapIndexBodyOf(cfg, h)
+      (s"${base(h)}/sitemap.xml", ts, body.getBytes("UTF-8"), "", "")
+    } else if (i >= cfg.nPages + cfg.nHosts) {
       val h = (i - cfg.nPages - cfg.nHosts).toInt
       val body = feedBodyOf(cfg, h)
       (s"${base(h)}/feed.xml", ts, body.getBytes("UTF-8"), "", "")
     } else if (i >= cfg.nPages) {
       val h = (i - cfg.nPages).toInt
-      (s"${base(h)}/robots.txt", ts,
-        RobotsBody.getBytes("UTF-8"), RobotsBody, "")
+      val body = robotsBodyOf(cfg, h)
+      (s"${base(h)}/robots.txt", ts, body.getBytes("UTF-8"), body, "")
     } else {
       val h = cfg.hostOf(i)
       val p = i - cfg.offsets(h)
@@ -234,7 +311,7 @@ object WebGen {
   /** Distributed generation → DataFrame(url, warc_ts, html, text, lang). */
   def generate(spark: SparkSession, cfg: Config): DataFrame = {
     import spark.implicits._
-    spark.range(cfg.nPages + 2L * cfg.nHosts)
+    spark.range(totalRows(cfg))
       .mapPartitions { it =>
         it.map { i => WebGen.rowAt(cfg, i) }
       }

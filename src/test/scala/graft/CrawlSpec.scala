@@ -301,6 +301,64 @@ class CrawlSpec extends AnyFunSuite {
       Robots.parseGroups("User-agent: a\nDisallow: /p/\n"), "b") === ((Nil, 0.0)))
   }
 
+  test("sitemap discovery: robots Sitemap lines seed the frontier; sitemap-only pages fetched; engine matches RefSpec") {
+    val cfgW = WebGen.Config(nPages = 400, nHosts = 4, withSitemaps = true)
+    val dir = Files.createTempDirectory("graftwebsm").toString
+    WebGen.writeTable(spark, cfgW, dir)
+    val store = Files.createTempDirectory("graftstoresm").toString
+    val cfg = CrawlJob.Config(pagesPath = dir, storeRoot = store,
+      seeds = WebGen.seeds(cfgW), hostBudget = 6, discoverSitemaps = true)
+    // robots advertises exactly one sitemap per host, robots-url order
+    val smSeeds = CrawlJob.sitemapSeeds(spark, cfg)
+    assert(smSeeds.length === cfgW.nHosts)
+    assert(smSeeds.forall(_.endsWith("/sitemap.xml")))
+    val finalWave = CrawlJob.run(spark, cfg)
+    val state = new FrontierStore(store).readState(spark, finalWave).cache()
+    // the index AND the child urlset were fetched for every host (the
+    // two-level sitemapindex → urlset cascade resolved through crawling)
+    assert(state.filter($"ckey".endsWith("/sitemap.xml") &&
+      $"status" === Status.Fetched).count() === cfgW.nHosts.toLong)
+    assert(state.filter($"ckey".endsWith("/sitemap-pages.xml") &&
+      $"status" === Status.Fetched).count() === cfgW.nHosts.toLong)
+    // sitemap-only orphan pages (no html link, no feed entry) reached the
+    // crawl: Fetched (or Disallowed/Redirected per their template)
+    val got = state.select($"ckey", $"status").collect()
+      .map(r => r.getString(0) -> r.getInt(1)).toMap
+    var checked = 0
+    (0 until cfgW.nHosts).foreach { h =>
+      val nh = cfgW.sizes(h)
+      val so = WebGen.sitemapOrphans(cfgW, nh)
+      assert(so > 0)
+      val lo = nh - WebGen.feedOrphans(nh) - so
+      (lo until lo + so).foreach { p =>
+        val ck = WebGen.urlOf(h, p).replaceFirst("^https?://", "")
+        withClue(ck) {
+          assert(got.contains(ck))
+          if (WebGen.pathOf(h, p).startsWith("/private/"))
+            assert(got(ck) === Status.Disallowed)
+          else
+            assert(got(ck) === Status.Fetched || got(ck) === Status.Redirected)
+        }
+        checked += 1
+      }
+    }
+    assert(checked > 0)
+    // full fetch-order equivalence vs the oracle under the same seed list
+    val pages = spark.read.parquet(dir)
+      .select($"url", $"html").collect()
+      .map(r => (r.getString(0).replaceFirst("^https?://", ""),
+        (r.getString(0), r.getAs[Array[Byte]]("html")))).toMap
+    val want = RefSpec.run(pages, WebGen.seeds(cfgW) ++ smSeeds,
+      CrawlJob.robotsRules(spark, cfg), hostBudget = 6)
+    val gotOrder = state.filter($"status" === Status.Fetched && $"scheduledRank" > 0)
+      .select($"fetchWave", $"hostRank", $"scheduledRank", $"ckey")
+      .collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getString(3)))
+      .sortBy(t => (t._1, t._2, t._3))
+    assert(gotOrder.toSeq === want.fetchOrder)
+    state.unpersist(blocking = false)
+  }
+
   test("Crawl-delay floors the per-host wave budget; engine matches RefSpec") {
     // host 1's robots gains a graftbot group with Crawl-delay 30 →
     // cap = min(6, ⌊60/30⌋) = 2 per wave; other hosts keep budget 6

@@ -2,7 +2,7 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.extract.{Dom, RssDiscovery, RssParse}
+import graft.extract.{Dom, RssDiscovery, RssParse, SitemapParse}
 
 /** RSS feed discovery (S8): link-alternate first, then .xml anchors,
   * then rss/feed anchors (extractor.py:136-158 cascade order).
@@ -103,5 +103,49 @@ class RssSpec extends AnyFunSuite {
       "<link>https://x.example.com/c</link></item>" // unclosed channel/rss
     assert(RssParse.entries(body) === List(
       RssParse.Entry("cd title", "https://x.example.com/c", null)))
+  }
+
+  test("SitemapParse: urlset locs in document order, whitespace trimmed") {
+    val us = "<?xml version=\"1.0\" encoding=\"UTF-8\"?>" +
+      "<urlset xmlns=\"http://www.sitemaps.org/schemas/sitemap/0.9\">" +
+      "<url><loc>https://a.com/1.html</loc><lastmod>2024-01-01</lastmod></url>" +
+      "<url><loc> https://a.com/2.html </loc><priority>0.5</priority></url>" +
+      "</urlset>"
+    assert(SitemapParse.isSitemap(us))
+    assert(!RssParse.isFeed("x") || true) // (doc: isFeed would also accept <?xml)
+    assert(SitemapParse.locs(us) ===
+      List("https://a.com/1.html", "https://a.com/2.html"))
+  }
+
+  test("SitemapParse: sitemapindex lists child sitemaps; no xml prologue needed") {
+    val si = "<sitemapindex><sitemap><loc>https://a.com/s1.xml</loc>" +
+      "<lastmod>2024-02-02</lastmod></sitemap>" +
+      "<sitemap><loc>https://a.com/s2.xml</loc></sitemap></sitemapindex>"
+    assert(SitemapParse.isSitemap(si))
+    assert(SitemapParse.locs(si) ===
+      List("https://a.com/s1.xml", "https://a.com/s2.xml"))
+  }
+
+  test("SitemapParse: extension-namespace locs do not leak; CDATA unwraps") {
+    val ext = "<?xml version=\"1.0\"?>" +
+      "<urlset xmlns=\"http://www.sitemaps.org/schemas/sitemap/0.9\" " +
+      "xmlns:image=\"http://www.google.com/schemas/sitemap-image/1.1\">" +
+      "<url><loc>https://a.com/p.html</loc>" +
+      "<image:image><image:loc>https://a.com/i.jpg</image:loc></image:image>" +
+      "</url></urlset>"
+    assert(SitemapParse.locs(ext) === List("https://a.com/p.html"))
+    val cd = "<urlset><url><loc><![CDATA[https://a.com/c.html]]></loc></url></urlset>"
+    assert(SitemapParse.locs(cd) === List("https://a.com/c.html"))
+  }
+
+  test("SitemapParse: malformed XML degrades to the regex fallback") {
+    // unclosed root: StAX raises at EOF, the complete <url> block still parses
+    val bad = "<urlset><url><loc>https://a.com/x.html</loc></url>" +
+      "<url><loc>https://a.com/y.html</loc></url>"
+    assert(SitemapParse.locs(bad) ===
+      List("https://a.com/x.html", "https://a.com/y.html"))
+    // not a sitemap at all
+    assert(!SitemapParse.isSitemap("<html><body>hi</body></html>"))
+    assert(!SitemapParse.isSitemap("<?xml version=\"1.0\"?><rss/>"))
   }
 }
