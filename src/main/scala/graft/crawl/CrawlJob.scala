@@ -128,7 +128,7 @@ object CrawlJob {
     spark.read.parquet(cfg.pagesPath)
       .filter($"url".endsWith("/robots.txt"))
       .select(hostUdf($"url").as("host"), parseUdf($"text").as("r"))
-      .select($"host", $"r._1".as("disallow"), $"r._2".as("crawl_delay"))
+      .select($"host", $"r._1".as("rules"), $"r._2".as("crawl_delay"))
   }
 
   /** Per-host politeness budget caps from `Crawl-delay` (see
@@ -334,11 +334,11 @@ object CrawlJob {
       .withColumn("ckey", ckeyOf($"url"))
       .withColumn("urlKey", xxhash64($"ckey"))
       .withColumn("isWebnews", graft.functions.UrlExpressions.is_news_url($"url"))
-      .join(rules.select($"host", $"disallow"), Seq("host"), "left")
+      .join(rules.select($"host", $"rules"), Seq("host"), "left")
       .withColumn("status",
-        when(graft.functions.UrlExpressions.robots_disallowed($"disallow", $"url"),
+        when(graft.functions.UrlExpressions.robots_disallowed($"rules", $"url"),
           Status.Disallowed).otherwise(Status.Pending))
-      .drop("disallow")
+      .drop("rules")
       .withColumn("fetchWave", lit(-1))
     // ST5: canonical targets enter as already-Fetched rows (reference:
     // INSERT OR IGNORE + immediate scraped=1 content update)

@@ -86,21 +86,28 @@ object PageParse {
 
 /** robots.txt rules (a NEW-engine requirement — the reference never reads
   * robots.txt; see SURVEY.md §7.1 note). RFC 9309 grouping + agent
-  * selection, plus the de-facto `Crawl-delay` extension: a URL is
-  * disallowed iff its path starts with any Disallow prefix of the group
-  * selected for the crawler's product token. Empty `Disallow:` lines
-  * allow all.
+  * selection + rule matching (`Allow`/`Disallow`, `*` wildcards, `$`
+  * end-anchor, longest-rule precedence with Allow winning length ties),
+  * plus the de-facto `Crawl-delay` extension.
+  *
+  * Selected rules travel through the engine as ONE `array<string>`
+  * column (the [[graft.functions.RobotsDisallowedExpr]] input): each
+  * entry is `'A'|'D'` + the rule path, PRE-SORTED by (path length desc,
+  * Allow-before-Disallow, path) so evaluation is first-match-wins — the
+  * RFC 9309 §2.2.2 most-specific-match rule applied once at parse time
+  * instead of per probed URL. Empty rule paths are ignored (an empty
+  * `Disallow:` allows all, per the RFC's example).
   */
 object Robots {
 
   /** One RFC 9309 rule group: the consecutive `User-agent` lines that
-    * open it (lowercased product tokens), its Disallow path-prefixes,
+    * open it (lowercased product tokens), its Allow/Disallow rule paths,
     * and the group's `Crawl-delay` in seconds (0 = unset; de-facto
     * extension honored by the batch scheduler as a per-host budget
     * floor and by the streaming path as a `nextFetchTime` cooldown).
     */
-  final case class Group(agents: List[String], disallow: List[String],
-                         crawlDelay: Double)
+  final case class Group(agents: List[String], allow: List[String],
+                         disallow: List[String], crawlDelay: Double)
 
   /** Parse one robots.txt body into its rule groups.
     *
@@ -113,6 +120,7 @@ object Robots {
   def parseGroups(body: String): List[Group] = {
     final class B {
       val agents = mutable.ListBuffer.empty[String]
+      val allow = mutable.ListBuffer.empty[String]
       val dis = mutable.ListBuffer.empty[String]
       var delay = 0.0
     }
@@ -132,6 +140,9 @@ object Robots {
           if (lower.startsWith("disallow:")) {
             val p = line.substring("disallow:".length).trim
             if (p.nonEmpty) cur.dis += p
+          } else if (lower.startsWith("allow:")) {
+            val p = line.substring("allow:".length).trim
+            if (p.nonEmpty) cur.allow += p
           } else if (lower.startsWith("crawl-delay:")) {
             val v = lower.substring("crawl-delay:".length).trim
             try { val d = v.toDouble; if (d > cur.delay) cur.delay = d }
@@ -140,14 +151,16 @@ object Robots {
         }
       }
     }
-    out.map(b => Group(b.agents.toList, b.dis.toList, b.delay)).toList
+    out.map(b => Group(b.agents.toList, b.allow.toList, b.dis.toList, b.delay)).toList
   }
 
   /** RFC 9309 §2.2.1 group selection for a crawler product token: the
     * MOST SPECIFIC match wins — the longest agent token that is a
     * case-insensitive prefix of `agent`; groups tied at that length
     * merge (same-agent groups combine per the RFC); the `*` group
-    * (specificity 0) is the fallback. Returns (disallow prefixes,
+    * (specificity 0) is the fallback. Returns (encoded rules — `'A'|'D'`
+    * + path, sorted by (path length desc, Allow first, path) so
+    * first-match-wins evaluation applies §2.2.2 precedence — and the
     * max crawl-delay of the merged groups); no matching group → allow
     * all, no delay.
     */
@@ -162,13 +175,51 @@ object Robots {
     if (best < 0) (Nil, 0.0)
     else {
       val m = groups.filter(_.agents.exists(t => spec(t) == best))
-      (m.flatMap(_.disallow), m.foldLeft(0.0)((d, g) => math.max(d, g.crawlDelay)))
+      val enc = (m.flatMap(_.allow).map("A" + _) ++ m.flatMap(_.disallow).map("D" + _))
+        .sortBy(r => (-(r.length - 1), r.charAt(0), r))
+      (enc, m.foldLeft(0.0)((d, g) => math.max(d, g.crawlDelay)))
     }
   }
 
-  /** (disallow prefixes, crawl-delay) for `agent` — parse + select. */
+  /** (encoded allow/disallow rules, crawl-delay) for `agent` —
+    * parse + select.
+    */
   def rulesFor(body: String, agent: String): (Seq[String], Double) =
     select(parseGroups(body), agent)
+
+  /** One rule path against a URL path — RFC 9309 §2.2.3 special
+    * characters: `*` matches any run of octets (including none), a
+    * TRAILING `$` anchors the rule at the path's end; otherwise the rule
+    * matches any path it is a prefix-glob of. Iterative greedy glob with
+    * single-star backtracking — no regex, no allocation: this runs once
+    * per (rule, discovered link) on the engine's highest-volume stream.
+    */
+  def pathMatches(rule: String, path: String): Boolean =
+    globMatch(rule, 0, path)
+
+  private def globMatch(pat: String, start: Int, path: String): Boolean = {
+    var pEnd = pat.length
+    val anchored = pEnd > start && pat.charAt(pEnd - 1) == '$'
+    if (anchored) pEnd -= 1
+    var pi = start; var si = 0
+    var starPi = -1; var starSi = 0
+    val sLen = path.length
+    while (true) {
+      if (!anchored && pi == pEnd) return true // rule consumed: prefix hit
+      if (si == sLen) {
+        while (pi < pEnd && pat.charAt(pi) == '*') pi += 1
+        return pi == pEnd
+      }
+      if (pi < pEnd && pat.charAt(pi) == '*') {
+        starPi = pi; pi += 1; starSi = si
+      } else if (pi < pEnd && pat.charAt(pi) == path.charAt(si)) {
+        pi += 1; si += 1
+      } else if (starPi >= 0) {
+        starSi += 1; pi = starPi + 1; si = starSi
+      } else return false
+    }
+    false
+  }
 
   /** `Sitemap:` directives of a robots.txt body (sitemaps.org
     * extension). GLOBAL per the spec — not scoped to any agent group —
@@ -181,19 +232,29 @@ object Robots {
       .filter(_.nonEmpty)
       .toList
 
-  /** Disallow prefixes for the `*` agent (compat surface for the
+  /** Encoded rules for the `*` agent (compat surface for the
     * truth-table tests and agent-agnostic callers).
     */
   def parse(body: String): Seq[String] = rulesFor(body, "*")._1
 
-  /** URL path against one host's disallow prefixes. No regex on this
-    * path: it runs once per discovered link (the engine's highest-volume
-    * stream), through the memoized [[graft.PyUrl.urlparse]].
+  /** URL against one host's encoded rule list (as produced by
+    * [[select]]): the list is pre-sorted most-specific-first, so the
+    * FIRST matching rule decides — `'D'` ⇒ disallowed, `'A'` ⇒ allowed;
+    * no match ⇒ allowed. No regex on this path: it runs once per
+    * discovered link (the engine's highest-volume stream), through the
+    * memoized [[graft.PyUrl.urlparse]].
     */
-  def isDisallowedBy(prefixes: Seq[String], url: String): Boolean = {
-    if (prefixes == null || prefixes.isEmpty) return false
+  def isDisallowedBy(rules: Seq[String], url: String): Boolean = {
+    if (rules == null || rules.isEmpty) return false
     val path = pathOf(url)
-    prefixes.exists(path.startsWith)
+    var i = 0
+    val n = rules.length
+    while (i < n) {
+      val r = rules(i)
+      if (globMatch(r, 1, path)) return r.charAt(0) == 'D'
+      i += 1
+    }
+    false
   }
 
   private def pathOf(url: String): String =
@@ -203,29 +264,33 @@ object Robots {
 
   /** Static probe target of the codegen'd
     * [[graft.functions.RobotsDisallowedExpr]]: same semantics as
-    * [[isDisallowedBy]] over the in-plan `array<string>` rules column.
-    * Null prefixes (host without robots) or null url → allowed. Loops
-    * without materializing a Seq — per-link hot path.
+    * [[isDisallowedBy]] over the in-plan `array<string>` encoded-rules
+    * column (pre-sorted by [[select]], first match decides). Null rules
+    * (host without robots) or null url → allowed. Loops without
+    * materializing a Seq — per-link hot path.
     */
-  def disallowedArray(prefixes: org.apache.spark.sql.catalyst.util.ArrayData,
+  def disallowedArray(rules: org.apache.spark.sql.catalyst.util.ArrayData,
                       url: org.apache.spark.unsafe.types.UTF8String): Boolean = {
-    if (prefixes == null || url == null) return false
-    val n = prefixes.numElements()
+    if (rules == null || url == null) return false
+    val n = rules.numElements()
     if (n == 0) return false
     val path = pathOf(url.toString)
     var i = 0
     while (i < n) {
-      val p = prefixes.getUTF8String(i)
-      if (p != null && path.startsWith(p.toString)) return true
+      val r = rules.getUTF8String(i)
+      if (r != null) {
+        val s = r.toString
+        if (globMatch(s, 1, path)) return s.charAt(0) == 'D'
+      }
       i += 1
     }
     false
   }
 
-  /** rules: host → disallow prefixes. URL with unknown host is allowed. */
+  /** rules: host → encoded rule list. URL with unknown host is allowed. */
   def isDisallowed(rules: Map[String, Seq[String]], host: String, url: String): Boolean =
     rules.get(host) match {
       case None => false
-      case Some(prefixes) => isDisallowedBy(prefixes, url)
+      case Some(encoded) => isDisallowedBy(encoded, url)
     }
 }

@@ -28,7 +28,15 @@ object WebGen {
                       * urlset, and 3 sitemap-only orphan pages per host.
                       * OFF by default so the bench geometry is unchanged.
                       */
-                    withSitemaps: Boolean = false) {
+                    withSitemaps: Boolean = false,
+                    /** gate: add an `Allow: /private/doc-*0.html$` robots
+                      * line — an already-linked SUBSET of the /private/
+                      * pages (p ≡ 0 mod 10) becomes fetchable, exercising
+                      * RFC 9309 Allow + wildcard + $-anchor longest-match
+                      * precedence end-to-end with zero geometry changes.
+                      * OFF by default so the bench geometry is unchanged.
+                      */
+                    withAllowRule: Boolean = false) {
     require(nHosts >= 2 && nPages >= nHosts * 4L)
     require(megaShare > 0 && megaShare < 1)
     /** host sizes: host0 = megaShare of all pages (skew), remainder split
@@ -220,12 +228,22 @@ object WebGen {
 
   val RobotsBody = "User-agent: *\nDisallow: /private/\n"
 
-  /** robots body for host h: the base rules, plus the host's `Sitemap:`
-    * advert when the sitemap layer is on.
+  /** the gated Allow line: longer than `Disallow: /private/`, so RFC 9309
+    * most-specific-match re-opens exactly the p ≡ 0 (mod 10) private docs.
     */
-  def robotsBodyOf(cfg: Config, h: Int): String =
-    if (cfg.withSitemaps) RobotsBody + s"Sitemap: ${base(h)}/sitemap.xml\n"
-    else RobotsBody
+  val AllowRule = "/private/doc-*0.html$"
+
+  /** true iff page p of any host is re-opened by [[AllowRule]]. */
+  def allowedPrivate(p: Long): Boolean = p % 10 == 0 && p != 0
+
+  /** robots body for host h: the base rules, plus the gated `Allow:`
+    * override and the host's `Sitemap:` advert when those layers are on.
+    */
+  def robotsBodyOf(cfg: Config, h: Int): String = {
+    val allow = if (cfg.withAllowRule) s"Allow: $AllowRule\n" else ""
+    val sm = if (cfg.withSitemaps) s"Sitemap: ${base(h)}/sitemap.xml\n" else ""
+    RobotsBody + allow + sm
+  }
 
   /** /sitemap.xml: a sitemapINDEX pointing at the host's urlset — the
     * child sitemap URL is itself a frontier candidate, so ingestion

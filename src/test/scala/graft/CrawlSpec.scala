@@ -260,45 +260,119 @@ class CrawlSpec extends AnyFunSuite {
     val r2 = WebGen.rowAt(webCfg, 17L)
     assert(r1._1 === r2._1 && r1._4 === r2._4)
     assert(java.util.Arrays.equals(r1._3, r2._3))
-    assert(Robots.parse(WebGen.RobotsBody) === Seq("/private/"))
-    assert(Robots.isDisallowed(Map("h.com" -> Seq("/private/")), "h.com",
+    assert(Robots.parse(WebGen.RobotsBody) === Seq("D/private/"))
+    assert(Robots.isDisallowed(Map("h.com" -> Seq("D/private/")), "h.com",
       "https://www.h.com/private/doc-5.html"))
     // RFC 9309 grouping: consecutive User-agent lines form ONE group
     assert(Robots.parse("User-agent: a\nUser-agent: *\nDisallow: /x\n")
-      === Seq("/x"))
+      === Seq("D/x"))
     // rules between agent lines split groups: the second group is a-only
     assert(Robots.parse(
       "User-agent: *\nDisallow: /x\nUser-agent: a\nDisallow: /y\n")
-      === Seq("/x"))
+      === Seq("D/x"))
     // blank lines inside an agent run do not end the run
     assert(Robots.parse("User-agent: *\n\nUser-agent: a\nDisallow: /z\n")
-      === Seq("/z"))
+      === Seq("D/z"))
   }
 
   test("robots named agent groups: RFC 9309 longest-match selection + Crawl-delay") {
     val body = "User-agent: BadBot\nDisallow: /\n\n" +
       "User-agent: *\nDisallow: /tmp/\nCrawl-delay: 2\n"
     // exact named group beats *, case-insensitively
-    assert(Robots.rulesFor(body, "badbot") === ((Seq("/"), 0.0)))
-    assert(Robots.rulesFor(body, "BADBOT-2.1") === ((Seq("/"), 0.0)))
+    assert(Robots.rulesFor(body, "badbot") === ((Seq("D/"), 0.0)))
+    assert(Robots.rulesFor(body, "BADBOT-2.1") === ((Seq("D/"), 0.0)))
     // unmatched token falls back to the * group, with its delay
-    assert(Robots.rulesFor(body, "goodbot") === ((Seq("/tmp/"), 2.0)))
+    assert(Robots.rulesFor(body, "goodbot") === ((Seq("D/tmp/"), 2.0)))
     // longest matching token wins among named groups
     val b2 = "User-agent: bot\nDisallow: /a/\n" +
       "User-agent: botzilla\nDisallow: /b/\nCrawl-delay: 7\n" +
       "User-agent: *\nDisallow: /c/\n"
-    assert(Robots.rulesFor(b2, "botzilla-2.0") === ((Seq("/b/"), 7.0)))
-    assert(Robots.rulesFor(b2, "botling") === ((Seq("/a/"), 0.0)))
-    assert(Robots.rulesFor(b2, "other") === ((Seq("/c/"), 0.0)))
+    assert(Robots.rulesFor(b2, "botzilla-2.0") === ((Seq("D/b/"), 7.0)))
+    assert(Robots.rulesFor(b2, "botling") === ((Seq("D/a/"), 0.0)))
+    assert(Robots.rulesFor(b2, "other") === ((Seq("D/c/"), 0.0)))
     // same-specificity groups merge (RFC: combine same-agent groups);
     // crawl-delay folds to the max; malformed delay values are ignored
     val b3 = "User-agent: *\nDisallow: /x/\nCrawl-delay: 1\n" +
       "User-agent: a\nDisallow: /only-a/\n" +
       "User-agent: *\nDisallow: /y/\nCrawl-delay: nope\nCrawl-delay: 3\n"
-    assert(Robots.rulesFor(b3, "other") === ((Seq("/x/", "/y/"), 3.0)))
+    assert(Robots.rulesFor(b3, "other") === ((Seq("D/x/", "D/y/"), 3.0)))
     // no matching group at all → allow everything
     assert(Robots.select(
       Robots.parseGroups("User-agent: a\nDisallow: /p/\n"), "b") === ((Nil, 0.0)))
+  }
+
+  test("robots Allow rules, * wildcards, $ anchor: RFC 9309 longest-match precedence") {
+    def dis(body: String, url: String): Boolean =
+      Robots.isDisallowedBy(Robots.parse(body), "https://www.h.com" + url)
+    // Allow overrides a shorter Disallow (most-specific-match wins)
+    val b1 = "User-agent: *\nDisallow: /\nAllow: /p\n"
+    assert(dis(b1, "/page.html") === false)
+    assert(dis(b1, "/quux") === true)
+    // equal-length Allow and Disallow: Allow wins the tie
+    val b2 = "User-agent: *\nDisallow: /folder\nAllow: /folder\n"
+    assert(dis(b2, "/folder/x") === false)
+    // a LONGER Disallow beats a shorter Allow
+    val b3 = "User-agent: *\nAllow: /page\nDisallow: /*.htm\n"
+    assert(dis(b3, "/page.htm") === true)
+    assert(dis(b3, "/page.html") === true) // prefix-glob: .htm matches .html too
+    assert(dis(b3, "/pagex") === false)
+    // $ anchors at the path end; rule order in the file is irrelevant
+    val b4 = "User-agent: *\nAllow: /$\nDisallow: /\n"
+    assert(dis(b4, "/") === false)
+    assert(dis(b4, "/x") === true)
+    // mid-rule wildcard spans path segments (Google's fish example)
+    val b5 = "User-agent: *\nDisallow: /fish*.php\n"
+    assert(dis(b5, "/fishheads/catfish.php?id=1") === true) // query dropped by urlparse
+    assert(dis(b5, "/fish.html") === false)
+    // anchored rule with a wildcard: *$ family
+    val b6 = "User-agent: *\nDisallow: /*.php$\n"
+    assert(dis(b6, "/a/b.php") === true)
+    assert(dis(b6, "/a/b.phpx") === false)
+    // backtracking: second star candidate must be found
+    assert(Robots.pathMatches("/a*c*d$", "/abcxcd") === true)
+    assert(Robots.pathMatches("/a*c*d$", "/abcxce") === false)
+    // empty Allow/Disallow lines are ignored (allow all)
+    assert(Robots.parse("User-agent: *\nDisallow:\nAllow:\n") === Nil)
+    // encoded list is sorted (len desc, Allow first on ties) for first-match-wins
+    assert(Robots.parse("User-agent: *\nDisallow: /folder\nAllow: /folder\nDisallow: /x\n")
+      === Seq("A/folder", "D/folder", "D/x"))
+  }
+
+  test("robots Allow override re-opens a /private/ subset; engine matches RefSpec") {
+    val cfgW = WebGen.Config(nPages = 400, nHosts = 4, withAllowRule = true)
+    val dir = Files.createTempDirectory("graftweballow").toString
+    WebGen.writeTable(spark, cfgW, dir)
+    val store = Files.createTempDirectory("graftstoreallow").toString
+    val cfg = CrawlJob.Config(pagesPath = dir, storeRoot = store,
+      seeds = WebGen.seeds(cfgW), hostBudget = 6)
+    val finalWave = CrawlJob.run(spark, cfg)
+    val state = new FrontierStore(store).readState(spark, finalWave).cache()
+    val priv = state.filter($"ckey".contains("/private/"))
+      .select($"ckey", $"status").collect()
+      .map(r => r.getString(0) -> r.getInt(1)).toSeq
+    assert(priv.nonEmpty)
+    // the Allow: /private/doc-*0.html$ subset is FETCHED, the rest of
+    // /private/ stays Disallowed — wildcard + $ + longest-match, in-plan
+    val (open, closed) = priv.partition(_._1.matches(".*/private/doc-\\d*0\\.html"))
+    assert(open.nonEmpty && closed.nonEmpty)
+    assert(open.forall(_._2 === Status.Fetched),
+      open.filterNot(_._2 == Status.Fetched).take(3).toString)
+    assert(closed.forall(_._2 === Status.Disallowed),
+      closed.filterNot(_._2 == Status.Disallowed).take(3).toString)
+    // full fetch-order equivalence vs the sequential oracle
+    val pages = spark.read.parquet(dir)
+      .select($"url", $"html").collect()
+      .map(r => (r.getString(0).replaceFirst("^https?://", ""),
+        (r.getString(0), r.getAs[Array[Byte]]("html")))).toMap
+    val want = RefSpec.run(pages, WebGen.seeds(cfgW),
+      CrawlJob.robotsRules(spark, cfg), hostBudget = 6)
+    val gotOrder = state.filter($"status" === Status.Fetched && $"scheduledRank" > 0)
+      .select($"fetchWave", $"hostRank", $"scheduledRank", $"ckey")
+      .collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getString(3)))
+      .sortBy(t => (t._1, t._2, t._3))
+    assert(gotOrder.toSeq === want.fetchOrder)
+    state.unpersist(blocking = false)
   }
 
   test("sitemap discovery: robots Sitemap lines seed the frontier; sitemap-only pages fetched; engine matches RefSpec") {

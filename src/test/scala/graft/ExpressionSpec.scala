@@ -62,11 +62,12 @@ class ExpressionSpec extends AnyFunSuite {
       concat(lit("https://www.a.com"),
         when(pmod($"id", lit(2)) === 0, concat(lit("/private/x-"), $"id"))
           .otherwise(concat(lit("/news/y-"), $"id"))).as("url"),
-      when(pmod($"id", lit(3)) === 0, array(lit("/private/"), lit("/tmp/")))
+      when(pmod($"id", lit(3)) === 0,
+          array(lit("A/private/x-1*"), lit("D/private/"), lit("D/tmp/")))
         .when(pmod($"id", lit(3)) === 1, lit(null).cast("array<string>"))
-        .otherwise(array().cast("array<string>")).as("disallow"))
-    val out = df.select($"url", $"disallow",
-      UrlExpressions.robots_disallowed($"disallow", $"url").as("dis"))
+        .otherwise(array().cast("array<string>")).as("rules"))
+    val out = df.select($"url", $"rules",
+      UrlExpressions.robots_disallowed($"rules", $"url").as("dis"))
     val plan = out.queryExecution.executedPlan.toString
     assert(!plan.contains("UDF"), plan)
     assert(plan.toLowerCase.contains("robotsdisallowedexpr"), plan)
