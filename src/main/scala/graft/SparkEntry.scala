@@ -4,8 +4,8 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
-import graft.functions.{GraftFunctions, TextOps}
-import graft.operators.{Dedup, Multimodal, Similarity}
+import graft.functions.{GraftFunctions, TextExpressions, TextOps}
+import graft.operators.{Contamination, Dedup, Multimodal, Similarity}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -475,6 +475,41 @@ object SparkEntry {
       Similarity.pqTopK(t(s, dir, "embeddings"), "vec_id", "embedding",
         $"vec_id" < 50, k = 5, dim = 64, m = 8, ks = 32)
         .select($"qid", $"nid", $"rank")),
+
+    // Training-data: benchmark decontamination (exact 8-gram overlap vs
+    // an eval set — src0 plays the benchmark). Gram → md5 map-side, the
+    // benchmark digest set broadcast: the corpus never shuffles for the
+    // match (operators/Contamination.scala).
+    "q38_decontaminate" -> ((s, dir) =>
+      Contamination.ngramHits(t(s, dir, "documents"), "doc_id", "text",
+        $"source" === "src0", n = 8)),
+
+    // Training-data: stratified deterministic sampling — a fixed quota
+    // per stratum (source), ranked by content hash so the pick is a pure
+    // function of the data (stable across reshards; domain-mixing
+    // weights at training time). One shuffle on the stratum key; no
+    // global sort.
+    "q39_stratified_sample" -> ((s, dir) => {
+      val w = Window.partitionBy($"source")
+        .orderBy(md5($"text".cast("binary")), $"doc_id")
+      t(s, dir, "documents")
+        .withColumn("rk", row_number().over(w))
+        .filter($"rk" <= 5)
+        .select($"doc_id", $"source", $"rk")
+    }),
+
+    // Training-data: text normalization — Unicode NFC (native codegen
+    // expression; Spark has no built-in normalizer), control-char strip,
+    // whitespace collapse, trim. Pure map-side scan. The appended
+    // combining-mark suffix makes the NFC step observable on the ASCII
+    // testdata corpus (e+U+0301 → é must compose).
+    "q40_normalize" -> ((s, dir) =>
+      t(s, dir, "documents").select($"doc_id",
+        trim(regexp_replace(regexp_replace(
+          TextExpressions.nfc_normalize(
+            concat($"text", lit("\u0001 cafe\u0301\u0002  nin\u0303o "))),
+          "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]", ""),
+          "  +", " ")).as("norm_text"))),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -820,5 +855,41 @@ object SparkEntry {
         |  SELECT unnest(list_filter(string_split_regex(text, ' +'), x -> len(x) > 0)) AS token
         |  FROM documents)
         |GROUP BY token ORDER BY n DESC, token LIMIT 20""".stripMargin,
+
+    "q38_decontaminate" ->
+      """WITH toks AS (
+        |  SELECT doc_id, source,
+        |         list_filter(string_split_regex(text, ' +'), x -> len(x) > 0) AS ts
+        |  FROM documents),
+        |grams AS (
+        |  SELECT doc_id, source, md5(array_to_string(ts[i:i+7], ' ')) AS gh
+        |  FROM toks, UNNEST(generate_series(1, greatest(len(ts) - 7, 0))) AS t(i)
+        |  WHERE len(ts) >= 8),
+        |bench AS (SELECT DISTINCT gh FROM grams WHERE source = 'src0'),
+        |hits AS (
+        |  SELECT doc_id, count(*) AS n_hits
+        |  FROM (SELECT DISTINCT doc_id, gh FROM grams WHERE source <> 'src0') g
+        |  WHERE gh IN (SELECT gh FROM bench)
+        |  GROUP BY doc_id)
+        |SELECT d.doc_id, CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits
+        |FROM documents d LEFT JOIN hits h USING (doc_id)
+        |WHERE d.source <> 'src0'""".stripMargin,
+
+    "q39_stratified_sample" ->
+      """SELECT doc_id, source, rk FROM (
+        |  SELECT doc_id, source,
+        |         CAST(row_number() OVER (
+        |           PARTITION BY source ORDER BY md5(text), doc_id) AS INT) AS rk
+        |  FROM documents)
+        |WHERE rk <= 5""".stripMargin,
+
+    "q40_normalize" ->
+      """SELECT doc_id,
+        |  trim(regexp_replace(regexp_replace(
+        |    nfc_normalize(text || chr(1) || ' cafe' || chr(769) || chr(2) ||
+        |                  '  nin' || chr(771) || 'o '),
+        |    '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g'),
+        |    '  +', ' ', 'g')) AS norm_text
+        |FROM documents""".stripMargin,
   )
 }

@@ -79,6 +79,25 @@ class ExpressionSpec extends AnyFunSuite {
     }
   }
 
+  test("nfc normalize expression: Normalizer parity, null-safe, codegen-resident") {
+    import spark.implicits._
+    // spark.range keeps the input non-constant: ConvertToLocalRelation
+    // would otherwise fold the expression away before the plan assert
+    val df = spark.range(9).select(
+        when(pmod($"id", lit(3)) === 0, concat(lit("e\u0301clair-"), $"id"))
+          .when(pmod($"id", lit(3)) === 1, concat(lit("caf\u00e9-"), $"id"))
+          .otherwise(lit(null).cast("string")).as("s"))
+      .select($"s", graft.functions.TextExpressions.nfc_normalize($"s").as("n"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("UDF"), plan)
+    assert(plan.toLowerCase.contains("nfcnormalizeexpr"), plan)
+    df.collect().foreach { r =>
+      if (r.isNullAt(0)) assert(r.isNullAt(1))
+      else assert(r.getString(1) === java.text.Normalizer.normalize(
+        r.getString(0), java.text.Normalizer.Form.NFC))
+    }
+  }
+
   test("null propagation") {
     import spark.implicits._
     val df = Seq[Option[String]](None, Some("https://www.a.com/x"))

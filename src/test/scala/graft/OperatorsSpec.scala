@@ -393,6 +393,38 @@ class OperatorsSpec extends AnyFunSuite {
     assert(out(2).getDouble(1) === 0.0 && out(2).getDouble(2) === 0.0)
   }
 
+  test("contamination: distinct benchmark n-gram hits per corpus doc, exact") {
+    import spark.implicits._
+    val d = Seq(
+      (100L, "bench", "one two three four"),            // grams: {one two three, two three four}
+      (0L, "corpus", "zzz one two three yyy"),          // 1 hit
+      (1L, "corpus", "one two three four five"),        // 2 hits
+      (2L, "corpus", "five six seven eight"),           // clean
+      (3L, "corpus", "short one"),                      // < n tokens → no grams → clean
+      (4L, "corpus", "one two three one two three"))    // same gram twice → 1 DISTINCT hit
+      .toDF("doc_id", "source", "text")
+    val out = graft.operators.Contamination
+      .ngramHits(d, "doc_id", "text", $"source" === "bench", n = 3)
+      .orderBy($"doc_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    assert(out.toSeq === Seq(0L -> 1L, 1L -> 2L, 2L -> 0L, 3L -> 0L, 4L -> 1L))
+  }
+
+  test("normalize: NFC composes, control chars stripped, whitespace collapsed") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-norm").toString
+    // doc 0: DECOMPOSED e + U+0301, an embedded BEL control, space runs;
+    // q40 itself appends a decomposed+control suffix (see SparkEntry)
+    Seq((0L, "e\u0301clair \u0007 ok"), (1L, "plain"))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = SparkEntry.queries("q40_normalize")(spark, dir)
+      .orderBy($"doc_id").collect().map(_.getString(1))
+    // COMPOSED forms (U+00E9, U+00F1), single-spaced, trimmed
+    assert(out(0) === "\u00e9clair ok caf\u00e9 ni\u00f1o")
+    assert(out(1) === "plain caf\u00e9 ni\u00f1o")
+  }
+
   test("all SparkEntry queries run and SQL-expressible ones are non-degenerate") {
     SparkEntry.queries.foreach { case (name, fn) =>
       val n = fn(spark, sf).count()
