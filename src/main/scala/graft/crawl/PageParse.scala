@@ -251,16 +251,30 @@ object Robots {
     val n = rules.length
     while (i < n) {
       val r = rules(i)
-      if (globMatch(r, 1, path)) return r.charAt(0) == 'D'
+      val m = r.length
+      // fast path: a rule with no '*' and no '$' anchor is a plain prefix
+      // probe — one intrinsified scan + regionMatches instead of the
+      // interpreted glob loop. This is the overwhelmingly common rule
+      // shape and this loop runs once per (rule, discovered link).
+      if (r.charAt(m - 1) != '$' && r.indexOf('*', 1) < 0) {
+        if (m - 1 <= path.length && path.regionMatches(0, r, 1, m - 1))
+          return r.charAt(0) == 'D'
+      } else if (globMatch(r, 1, path)) return r.charAt(0) == 'D'
       i += 1
     }
     false
   }
 
-  private def pathOf(url: String): String =
-    graft.PyUrl.urlparse(
+  /** RFC 9309 §2.2.2 match target: the path PLUS the query when present
+    * (`?q=` rules must be matchable — the RFC matches against everything
+    * after the authority). Fragments are already dropped by urlparse.
+    */
+  private def pathOf(url: String): String = {
+    val p = graft.PyUrl.urlparse(
       if (url.startsWith("http://") || url.startsWith("https://")) url
-      else "https://" + url).path
+      else "https://" + url)
+    if (p.query.isEmpty) p.path else p.path + "?" + p.query
+  }
 
   /** Static probe target of the codegen'd
     * [[graft.functions.RobotsDisallowedExpr]]: same semantics as
@@ -275,16 +289,51 @@ object Robots {
     val n = rules.numElements()
     if (n == 0) return false
     val path = pathOf(url.toString)
+    // one UTF8String per link (replaces a per-RULE toString: the r4
+    // matcher allocated + glob-looped every rule — measured as part of
+    // the 2-core per-page regression, VERDICT r4 #2)
+    var u8path: org.apache.spark.unsafe.types.UTF8String = null
     var i = 0
     while (i < n) {
       val r = rules.getUTF8String(i)
       if (r != null) {
-        val s = r.toString
-        if (globMatch(s, 1, path)) return s.charAt(0) == 'D'
+        val nb = r.numBytes
+        // plain-rule fast path: no '*' in the body, no trailing '$' —
+        // a raw byte-prefix probe, no String materialization at all
+        // (byte-wise UTF-8 prefix equality ≡ char-wise prefix equality)
+        var plain = nb > 1 && r.getByte(nb - 1) != '$'
+        var j = 1
+        while (plain && j < nb) {
+          if (r.getByte(j) == '*') plain = false
+          j += 1
+        }
+        if (plain) {
+          if (u8path == null)
+            u8path = org.apache.spark.unsafe.types.UTF8String.fromString(path)
+          if (nb - 1 <= u8path.numBytes && bytePrefixMatches(r, u8path))
+            return r.getByte(0) == 'D'
+        } else {
+          val s = r.toString
+          if (globMatch(s, 1, path)) return s.charAt(0) == 'D'
+        }
       }
       i += 1
     }
     false
+  }
+
+  /** rule bytes [1, numBytes) against the leading bytes of `path`;
+    * caller guarantees numBytes − 1 ≤ path.numBytes.
+    */
+  private def bytePrefixMatches(rule: org.apache.spark.unsafe.types.UTF8String,
+                                path: org.apache.spark.unsafe.types.UTF8String): Boolean = {
+    val len = rule.numBytes - 1
+    var j = 0
+    while (j < len) {
+      if (rule.getByte(j + 1) != path.getByte(j)) return false
+      j += 1
+    }
+    true
   }
 
   /** rules: host → encoded rule list. URL with unknown host is allowed. */

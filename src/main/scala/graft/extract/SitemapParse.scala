@@ -27,13 +27,29 @@ object SitemapParse {
     * prologue, which would swallow sitemap bodies.
     */
   def isSitemap(body: String): Boolean = {
-    val t = body.dropWhile(_.isWhitespace)
-    val afterDecl =
+    // real-world prologue junk before the root element: UTF-8 BOM
+    // (U+FEFF is NOT isWhitespace), <?xml?> declaration, comments,
+    // DOCTYPE — all skipped before the root-element check (ADVICE r4)
+    var t = body.dropWhile(c => c.isWhitespace || c == '\uFEFF')
+    var more = true
+    while (more) {
+      more = false
       if (t.startsWith("<?xml")) {
         val e = t.indexOf("?>")
-        if (e < 0) "" else t.substring(e + 2).dropWhile(_.isWhitespace)
-      } else t
-    afterDecl.startsWith("<urlset") || afterDecl.startsWith("<sitemapindex")
+        t = if (e < 0) "" else t.substring(e + 2)
+        more = true
+      } else if (t.startsWith("<!--")) {
+        val e = t.indexOf("-->")
+        t = if (e < 0) "" else t.substring(e + 3)
+        more = true
+      } else if (t.startsWith("<!DOCTYPE")) {
+        val e = t.indexOf('>')
+        t = if (e < 0) "" else t.substring(e + 1)
+        more = true
+      }
+      if (more) t = t.dropWhile(c => c.isWhitespace || c == '\uFEFF')
+    }
+    t.startsWith("<urlset") || t.startsWith("<sitemapindex")
   }
 
   /** All `<loc>` values (page URLs of a urlset, child sitemap URLs of a

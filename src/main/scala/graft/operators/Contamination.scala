@@ -47,9 +47,14 @@ object Contamination {
       .select(id, col("is_bench"),
         explode(transform(col("gs"), g => md5(g.cast("binary")))).as("gh"))
     val bench = grams.filter(col("is_bench")).select(col("gh")).distinct()
+    // the broadcast join runs FIRST (bench keys are distinct, so the join
+    // never multiplies rows); only MATCHED (doc, digest) grams reach the
+    // distinct's shuffle — the corpus itself never shuffles. (ADVICE r4:
+    // the r4 order ran distinct below the join, shuffling O(corpus grams).)
     val hits = grams.filter(!col("is_bench"))
-      .select(id, col("gh")).distinct()
+      .select(id, col("gh"))
       .join(broadcast(bench), Seq("gh"))
+      .distinct()
       .groupBy(id).agg(count(lit(1)).as("n_hits"))
     docs.filter(!isBench)
       .select(id)

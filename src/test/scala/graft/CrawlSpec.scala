@@ -322,8 +322,19 @@ class CrawlSpec extends AnyFunSuite {
     assert(dis(b4, "/x") === true)
     // mid-rule wildcard spans path segments (Google's fish example)
     val b5 = "User-agent: *\nDisallow: /fish*.php\n"
-    assert(dis(b5, "/fishheads/catfish.php?id=1") === true) // query dropped by urlparse
+    assert(dis(b5, "/fishheads/catfish.php?id=1") === true)
     assert(dis(b5, "/fish.html") === false)
+    // RFC 9309 matches path PLUS query: '?'-targeting rules must fire
+    // (ADVICE r4 — the r4 matcher dropped the query before matching)
+    val b5q = "User-agent: *\nDisallow: /*?sessionid=\nDisallow: /search?q=\n"
+    assert(dis(b5q, "/cart?sessionid=abc") === true)
+    assert(dis(b5q, "/search?q=x") === true)
+    assert(dis(b5q, "/search") === false)
+    assert(dis(b5q, "/cart") === false)
+    // ...and a $-anchored rule no longer matches a URL carrying a query
+    val b5a = "User-agent: *\nDisallow: /page$\n"
+    assert(dis(b5a, "/page") === true)
+    assert(dis(b5a, "/page?x=1") === false)
     // anchored rule with a wildcard: *$ family
     val b6 = "User-agent: *\nDisallow: /*.php$\n"
     assert(dis(b6, "/a/b.php") === true)

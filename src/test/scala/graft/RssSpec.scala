@@ -138,6 +138,18 @@ class RssSpec extends AnyFunSuite {
     assert(SitemapParse.locs(cd) === List("https://a.com/c.html"))
   }
 
+  test("SitemapParse: BOM / comment / DOCTYPE prologue junk is skipped") {
+    // real-world bodies: UTF-8 BOM (not isWhitespace), leading comments,
+    // DOCTYPE — all before the root element (ADVICE r4)
+    val core = "<urlset><url><loc>https://a.com/b.html</loc></url></urlset>"
+    assert(SitemapParse.isSitemap("\uFEFF" + core))
+    assert(SitemapParse.isSitemap("<!-- generated nightly -->\n" + core))
+    assert(SitemapParse.isSitemap("<!DOCTYPE urlset>\n" + core))
+    assert(SitemapParse.isSitemap(
+      "\uFEFF<?xml version=\"1.0\"?>\n<!-- c1 --><!-- c2 -->\n" + core))
+    assert(!SitemapParse.isSitemap("\uFEFF<!-- x --><html></html>"))
+  }
+
   test("SitemapParse: malformed XML degrades to the regex fallback") {
     // unclosed root: StAX raises at EOF, the complete <url> block still parses
     val bad = "<urlset><url><loc>https://a.com/x.html</loc></url>" +
