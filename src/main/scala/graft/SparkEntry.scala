@@ -510,6 +510,31 @@ object SparkEntry {
             concat($"text", lit("\u0001 cafe\u0301\u0002  nin\u0303o "))),
           "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]", ""),
           "  +", " ")).as("norm_text"))),
+
+    // Training-data: composed IVF-PQ ANN (IVFADC -- the production
+    // 10^10-vector shape: coarse-quantizer list pruning AND PQ code
+    // compression in one index; rows-only -- recall/determinism gated in
+    // OperatorsSpec like q31/q37)
+    "q41_ann_ivfpq" -> ((s, dir) =>
+      Similarity.ivfPqTopK(t(s, dir, "embeddings"), "vec_id", "embedding",
+        $"vec_id" < 50, k = 5, dim = 64, nlist = 16, nProbe = 4,
+        m = 8, ks = 32)
+        .select($"qid", $"nid", $"rank")),
+
+    // Training-data: one-call corpus dedup -- near-dup pairs -> connected
+    // components -> keep exactly one survivor per cluster. The pair stage
+    // here is the EXACT blocked n-gram Jaccard (q13's -- SQL-replayable),
+    // so the whole pipeline is DuckDB-oracle-exact end to end via a
+    // recursive CTE; the scale path (Dedup.dedupCorpus = MinHash+LSH
+    // pairs) is fixture-tested in OperatorsSpec.
+    "q42_dedup_corpus" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val pairs = Dedup.ngramJaccardPairs(d, "doc_id", "text",
+        "source", shingleSize = 3, threshold = 0.2)
+      val out = Dedup.dedupCorpusFromPairs(d, "doc_id", pairs)
+      pairs.unpersist(blocking = false)
+      out
+    }),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -891,5 +916,39 @@ object SparkEntry {
         |    '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g'),
         |    '  +', ' ', 'g')) AS norm_text
         |FROM documents""".stripMargin,
+
+    "q42_dedup_corpus" ->
+      """WITH RECURSIVE toks AS (
+        |  SELECT doc_id, source,
+        |    list_filter(string_split_regex(text, ' +'), x -> len(x) > 0) AS w
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, source,
+        |    unnest(list_distinct(list_transform(range(1, len(w) - 1),
+        |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS shingle
+        |  FROM toks WHERE len(w) >= 3),
+        |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+        |inter AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS cnt
+        |  FROM sh a JOIN sh b
+        |    ON a.source = b.source AND a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT doc_a, doc_b FROM inter
+        |  JOIN sizes sa ON sa.doc_id = doc_a
+        |  JOIN sizes sb ON sb.doc_id = doc_b
+        |  WHERE cnt / (sa.sz + sb.sz - cnt) >= 0.2),
+        |und AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+        |        UNION SELECT doc_b, doc_a FROM pairs),
+        |verts AS (SELECT DISTINCT u AS x FROM und),
+        |reach(x, r) AS (
+        |  SELECT x, x FROM verts
+        |  UNION
+        |  SELECT e.v, reach.r FROM reach JOIN und e ON e.u = reach.x),
+        |comp AS (SELECT x AS doc_id, min(r) AS clu FROM reach GROUP BY x)
+        |SELECT d.doc_id,
+        |  CAST(coalesce(c.clu, d.doc_id) AS BIGINT) AS cluster,
+        |  (d.doc_id = coalesce(c.clu, d.doc_id)) AS keep
+        |FROM documents d LEFT JOIN comp c USING (doc_id)""".stripMargin,
   )
 }

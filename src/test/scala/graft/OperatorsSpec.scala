@@ -227,6 +227,68 @@ class OperatorsSpec extends AnyFunSuite {
     assert(mm.getInt(0) >= 0 && mm.getInt(1) < 32)
   }
 
+  test("IVF-PQ ANN (composed) recall ≥ 0.5 vs brute force, deterministic") {
+    val k = 3
+    val truth = Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+      col("vec_id") < 20, k).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def run() = Similarity.ivfPqTopK(emb, "vec_id", "embedding",
+      col("vec_id") < 20, k = k, dim = 64, nlist = 8, nProbe = 3,
+      m = 8, ks = 32)
+      .select($"qid", $"nid", $"rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val approx = run()
+    // every query answered, per-query ranks dense from 1 (≤ k), self
+    // never returned
+    assert(approx.map(_._1) === (0L until 20L).toSet)
+    approx.groupBy(_._1).foreach { case (_, rows) =>
+      assert(rows.map(_._3).toSeq.sorted === (1L to rows.size))
+    }
+    assert(approx.forall { case (q, n, _) => q != n })
+    val recall = approx.map(t => (t._1, t._2)).intersect(truth).size.toDouble /
+      truth.size
+    assert(recall >= 0.5, s"IVF-PQ ANN recall $recall < 0.5")
+    // both trainers are deterministic and the ADC scan + exact re-rank
+    // tie-break on ids: a second full run is identical
+    assert(run() === approx)
+  }
+
+  test("dedupCorpus: transitive near-dups collapse to ONE survivor per cluster") {
+    import spark.implicits._
+    // A~B and B~C share most shingles; A and C overlap less — the
+    // cluster must still collapse TRANSITIVELY through B. docs 10/11 are
+    // exact copies of each other; 20 is isolated.
+    val base = "the quick brown fox jumps over the lazy dog again and again"
+    val d = Seq(
+      (1L, base + " alpha beta gamma delta"),
+      (2L, base + " alpha beta gamma epsilon"),
+      (3L, base + " alpha beta zeta epsilon"),
+      (10L, "completely different content about spark shuffle partitions here"),
+      (11L, "completely different content about spark shuffle partitions here"),
+      (20L, "an isolated single document with unique words nobody else shares")
+    ).toDF("doc_id", "text")
+    val out = Dedup.dedupCorpus(d, "doc_id", "text",
+      numHashes = 16, bands = 8, shingleSize = 2, threshold = 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    assert(out.length === 6) // one row per input doc
+    val byId = out.map(t => t._1 -> t).toMap
+    // the 1-2-3 chain is one cluster, component-min 1 the only survivor
+    assert(Seq(1L, 2L, 3L).map(byId(_)._2).distinct === Seq(1L))
+    assert(byId(1L)._3 === true)
+    assert(byId(2L)._3 === false && byId(3L)._3 === false)
+    // exact copies cluster; min id survives
+    assert(byId(10L)._2 === 10L && byId(11L)._2 === 10L)
+    assert(byId(10L)._3 === true && byId(11L)._3 === false)
+    // the isolated doc keeps itself
+    assert(byId(20L) === ((20L, 20L, true)))
+    // global invariant: exactly one survivor per cluster, survivor = min
+    out.groupBy(_._2).foreach { case (clu, rows) =>
+      assert(rows.count(_._3) === 1)
+      assert(rows.filter(_._3).head._1 === clu)
+      assert(rows.map(_._1).min === clu)
+    }
+  }
+
   test("IVF quantizer: unit-norm centroids, total corpus coverage") {
     val dim = 64
     val cents = Similarity.trainIvfCentroids(emb, "vec_id", "embedding",

@@ -121,6 +121,43 @@ class StreamingSpec extends AnyFunSuite {
     assert(s2.get.nextFetchTime === 120000L)
   }
 
+  test("streaming robots disallow: prepCandidates drops disallowed urls in-plan") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // the same robots body → encoded rules derivation the batch engine
+    // uses; hostB has no robots row at all (left join → allowed)
+    val body = "User-agent: *\nDisallow: /private/\nDisallow: /*?sessionid=\n"
+    val (enc, delay) = graft.crawl.Robots.rulesFor(body, "graftbot")
+    val rules = Seq(("hostA.com", enc, delay))
+      .toDF("host", "rules", "crawl_delay")
+    val input = MemoryStream[(String, String, Boolean, Long)]
+    val raw = input.toDS().toDF("url", "host", "isWebnews", "discSeq")
+    val prepped = StreamingFrontier.prepCandidates(spark, raw, rules)
+    val scheduled = StreamingFrontier.schedule(spark, prepped, budget = 10)
+    val q = scheduled.writeStream
+      .outputMode("append").format("memory").queryName("robots_sched")
+      .trigger(Trigger.ProcessingTime(0)).start()
+    input.addData(
+      ("https://hostA.com/ok.html", "hostA.com", false, 1L),
+      ("https://hostA.com/private/x.html", "hostA.com", false, 2L),
+      ("https://hostA.com/cart?sessionid=9", "hostA.com", false, 3L),
+      ("https://hostB.com/anything", "hostB.com", false, 1L))
+    q.processAllAvailable()
+    val got = spark.table("robots_sched").as[ScheduledFetch].collect().toSeq
+    // a disallowed candidate (path rule AND query-targeting wildcard
+    // rule) is never scheduled; allowed + robots-less hosts pass
+    assert(got.map(_.url).toSet ===
+      Set("https://hostA.com/ok.html", "https://hostB.com/anything"))
+    q.stop()
+    // Crawl-delay plumbing: the host's delay rides as delayMs (ms) on
+    // the prepared candidate — checked on a batch frame, same plan
+    val rules2 = Seq(("hostA.com", enc, 2.5)).toDF("host", "rules", "crawl_delay")
+    val batch = Seq(("https://hostA.com/ok.html", "hostA.com", false, 1L))
+      .toDF("url", "host", "isWebnews", "discSeq")
+    val c = StreamingFrontier.prepCandidates(spark, batch, rules2).collect()
+    assert(c.length === 1 && c.head.delayMs === 2500L)
+  }
+
   test("live hostDelays query: delayed host paces, zero-delay backlog drains") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
