@@ -256,7 +256,16 @@ object CrawlJob {
     // Crawl-delay floors enter as per-host budget caps
     val waveSet = Scheduler.selectWave(pending, cfg.hostBudget, hostCaps)
       .persist(StorageLevel.DISK_ONLY)
-    val scheduled = timed("sched")(waveSet.count())
+    val aqeOn = spark.conf.get("spark.sql.adaptive.enabled", "true").toBoolean
+    // Under AQE the count must run FIRST: exchanges materialize as
+    // CONCURRENT jobs and concurrent tasks on a not-yet-cached block each
+    // recompute it (the r2 3×-parse bug). With AQE OFF in lean mode the
+    // single sequential newEntries job materializes waveSet along its own
+    // pipeline, so the politeness count is DEFERRED to a cheap cached
+    // read after it — one fewer job barrier per wave on the critical
+    // path (the per-wave floor, BASELINE.md "Path to ≥0.8" lever (b)).
+    val scheduledEarly =
+      if (cfg.lean && !aqeOn) -1L else timed("sched")(waveSet.count())
 
     // 2. fetch join, STORAGE-PARTITIONED: the join key is the single
     // bucket key `urlKey`, so the pages side — bucketed on urlKey (the
@@ -484,10 +493,13 @@ object CrawlJob {
     // With AQE OFF exchanges materialize inside one sequential job, so
     // the newEntries count alone pins parsed+cand+newEntries and the
     // separate parse count is skipped in lean mode (one fewer job/wave).
-    val aqeOn = spark.conf.get("spark.sql.adaptive.enabled", "true").toBoolean
     val fetchedCount =
       if (cfg.lean && !aqeOn) -1L else timed("parse")(hits.count())
     val newCount = timed("newent")(newEntries.count())
+    val scheduled =
+      if (scheduledEarly >= 0) scheduledEarly
+      else timed("sched")(waveSet.count()) // cached read — waveSet was
+        // materialized inside the newEntries job above
     // remaining metrics are pure cached-side derivations (lean skips)
     val candCount = if (cfg.lean) -1L else cand.count()
     val disallowedCount = if (cfg.lean) -1L else newDisallowed.count()
@@ -671,7 +683,8 @@ object CrawlJob {
         // Catalyst re-optimization time blows up within a few waves:
         // measured minutes of silent driver time per AQE stage by wave
         // 2). Laziness (r4): materialization rides the NEXT wave's first
-        // action — the politeness count — instead of a dedicated per-wave
+        // action — the politeness count, or in lean/AQE-off mode the
+        // fused newEntries job (r5) — instead of a dedicated per-wave
         // job+barrier on the critical path (one of the three serial
         // action tails in the ~11 s core-invariant floor, BASELINE.md).
         // Safe because the inputs it reads (the old view + this wave's
