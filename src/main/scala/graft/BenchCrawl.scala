@@ -140,10 +140,21 @@ object BenchCrawl {
         // (1.15 × the previous attempt's wall, store copy included) is
         // checked against this level's absolute deadline — a window is
         // skipped rather than risking the whole artifact timing out.
+        // every attempt must resume from the PRISTINE post-ramp state:
+        // window 1 runs on (and MUTATES — the crawl appends its waves to)
+        // `store`, so later windows must copy from a snapshot taken
+        // BEFORE window 1, not from `store` itself. Copying the mutated
+        // store made windows 2+ resume 4 waves DEEPER, fetching ~30%
+        // fewer pages from the declining frontier — faster wall on LESS
+        // work, which the old min-by-seconds silently preferred (latent
+        // since best-of moved inside the child; caught by the
+        // fetched-equality check the per-wave composition added).
+        val pristine = s"${store}_base"
+        if (bestOf > 1) { rmrf(pristine); copyDir(store, pristine) }
         def storeFor(i: Int): String =
           if (i == 1) store else {
             val b = s"${store}_w$i"
-            rmrf(b); copyDir(store, b); b
+            rmrf(b); copyDir(pristine, b); b
           }
         // each attempt = ONE run() of (2 untimed lead-in waves + `waves`
         // timed waves): the lead-ins absorb the one-time resume costs a
